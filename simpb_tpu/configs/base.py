@@ -1,0 +1,134 @@
+"""Declarative model/data/schedule configuration.
+
+Dataclass equivalent of the reference's executable-python mmcv configs
+(projects/configs/simpb_nus_r50_img_704x256.py). The decoder is still a
+program over `operation_order` strings — the reference's key extension
+point (config:65-72) — and every hyperparameter keeps its released value
+as the default.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+CLASS_NAMES = (
+    "car",
+    "truck",
+    "construction_vehicle",
+    "bus",
+    "trailer",
+    "barrier",
+    "motorcycle",
+    "bicycle",
+    "pedestrian",
+    "traffic_cone",
+)
+
+# decoder-layer programs (reference config:65-72)
+SINGLE_LAYER_2D = (
+    "allocation", "qg_self_attn", "norm", "qg_cross_attn", "ffn", "norm",
+    "refine2d", "aggregation", "refine3d",
+)
+LAYER_3D = ("temp_gnn", "gnn", "norm", "deformable", "ffn", "norm", "refine3d")
+LAYER_2D = ("temp_gnn",) + SINGLE_LAYER_2D
+
+DEFAULT_OPERATION_ORDER = (
+    SINGLE_LAYER_2D + LAYER_3D + LAYER_2D + LAYER_3D + LAYER_2D + LAYER_3D
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadConfig:
+    embed_dims: int = 256
+    num_groups: int = 8  # attention heads
+    num_cams: int = 6
+    num_levels: int = 4
+    num_classes: int = len(CLASS_NAMES)
+    num_anchor: int = 900
+    num_temp_instances: int = 600
+    num_single_frame_decoder: int = 1
+    operation_order: Tuple[str, ...] = DEFAULT_OPERATION_ORDER
+    decouple_attn: bool = True
+    decouple_attn2d: bool = True
+    with_quality_estimation: bool = True
+    enable2d: bool = True
+    drop_out: float = 0.1
+    dfa_attn_drop: float = 0.15
+    num_learnable_pts: int = 6
+    confidence_decay: float = 0.6
+    default_time_interval: float = 0.5
+    max_time_interval: float = 2.0
+    # static 2D allocation (TPU redesign of DynamicQueryAllocation)
+    allocation_capacity: int = 256  # K slots per camera
+    limit_corners: int = 100  # train-time corner-only cap (config:163)
+    # denoising
+    num_dn_groups: int = 5
+    num_temp_dn_groups: int = 3
+    max_dn_gt: int = 32
+    add_neg_dn: bool = True
+    dn_noise_scale: Tuple[float, ...] = (2.0,) * 3 + (0.5,) * 7
+    # decoding
+    num_output: int = 300
+    score_threshold: float = 0.05
+    cls_threshold_to_reg: float = 0.05
+    # allocation DN capacity per camera
+    dn_allocation_capacity: int = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    backbone_depth: int = 50
+    backbone_remat: bool = True  # reference with_cp=True (config:86)
+    use_grid_mask: bool = True
+    num_depth_layers: int = 3
+    depth_loss_weight: float = 0.2
+    input_size: Tuple[int, int] = (704, 256)  # (W, H)
+    strides: Tuple[int, ...] = (4, 8, 16, 32)
+    head: HeadConfig = dataclasses.field(default_factory=HeadConfig)
+    compute_dtype: str = "float32"  # "bfloat16" for TPU speed
+
+    @property
+    def feature_shapes(self) -> Tuple[Tuple[int, int], ...]:
+        w, h = self.input_size
+        return tuple((h // s, w // s) for s in self.strides)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 4  # per device (config:9)
+    num_epochs: int = 100
+    num_iters_per_epoch: int = 28130 // 32
+    lr: float = 4e-4
+    backbone_lr_mult: float = 0.5  # config:426-430
+    weight_decay: float = 0.001
+    grad_clip_norm: float = 25.0  # config:432
+    warmup_iters: int = 500
+    warmup_ratio: float = 1.0 / 3
+    min_lr_ratio: float = 1e-3
+    # losses
+    cls_weight: float = 2.0
+    box_weight: float = 0.25
+    cls_weight2d: float = 2.0
+    bbox_weight2d: float = 5.0
+    iou_weight2d: float = 2.0
+    alpha_weight2d: float = 0.5
+    dn_loss_weight: float = 5.0
+    reg_weights: Tuple[float, ...] = (2.0,) * 3 + (1.0,) * 7
+    sampler_reg_weights: Tuple[float, ...] = (2.0,) * 3 + (0.5,) * 3 + (0.0,) * 4
+
+    @property
+    def max_iters(self) -> int:
+        return self.num_iters_per_epoch * self.num_epochs
+
+
+def simpb_r50_704x256() -> ModelConfig:
+    """The released R50 704x256 configuration."""
+    return ModelConfig()
+
+
+def simpb_r101_1408x512() -> ModelConfig:
+    """The high-res R101 configuration (README.md:29; no released cfg)."""
+    return ModelConfig(
+        backbone_depth=101,
+        input_size=(1408, 512),
+    )

@@ -1,0 +1,197 @@
+"""ResNet backbone + FPN neck, TPU-native (Flax linen, NHWC, bf16-ready).
+
+Capability equivalent of the reference's mmdet `ResNet` (depth 50/101,
+style="pytorch", norm BN, out_indices (0,1,2,3), with_cp — see
+projects/configs/simpb_nus_r50_img_704x256.py:79-90) and mmdet `FPN`
+(in [256,512,1024,2048] -> 256 x 4 levels, add_extra_convs="on_output",
+relu_before_extra_convs — config:91-99). Parameter structure mirrors the
+torchvision layout so released torch checkpoints convert 1:1
+(see simpb_tpu/utils/torch_convert.py).
+
+TPU notes: channels-last, convolutions hit the MXU directly; stages can
+be rematerialised (`remat=True`) to mirror the reference's `with_cp=True`
+activation checkpointing.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+RESNET_STAGE_BLOCKS = {
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+}
+
+
+class Bottleneck(nn.Module):
+    """Torch-style bottleneck: 1x1 -> 3x3(stride) -> 1x1(4x), residual."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
+            use_bias=False, dtype=self.dtype, name=name,
+        )
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
+        )
+        identity = x
+        out = nn.relu(bn("bn1")(conv(self.planes, 1, 1, "conv1")(x)))
+        out = nn.relu(bn("bn2")(conv(self.planes, 3, self.stride, "conv2")(out)))
+        out = bn("bn3")(conv(self.planes * 4, 1, 1, "conv3")(out))
+        if self.downsample:
+            identity = bn("downsample_bn")(
+                conv(self.planes * 4, 1, self.stride, "downsample_conv")(x)
+            )
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet-50/101 trunk returning C2..C5 feature maps (NHWC)."""
+
+    depth: int = 50
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # reference with_cp=True (config:86)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        stage_blocks = RESNET_STAGE_BLOCKS[self.depth]
+        x = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+            use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn1",
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        block_cls = Bottleneck
+        if self.remat:
+            block_cls = nn.remat(Bottleneck, static_argnums=(2,))
+
+        outs = []
+        for stage, num_blocks in enumerate(stage_blocks):
+            planes = 64 * (2**stage)
+            for i in range(num_blocks):
+                stride = 2 if (stage > 0 and i == 0) else 1
+                x = block_cls(
+                    planes=planes,
+                    stride=stride,
+                    downsample=(i == 0),
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{i}",
+                )(x, train)
+            outs.append(x)
+        return outs
+
+
+class FPN(nn.Module):
+    """mmdet-equivalent FPN: laterals + top-down nearest upsample + 3x3."""
+
+    out_channels: int = 256
+    num_outs: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]):
+        laterals = [
+            nn.Conv(
+                self.out_channels, (1, 1), use_bias=True, dtype=self.dtype,
+                name=f"lateral_{i}",
+            )(x)
+            for i, x in enumerate(inputs)
+        ]
+        for i in range(len(laterals) - 1, 0, -1):
+            up = jax.image.resize(
+                laterals[i],
+                laterals[i - 1].shape[:1]
+                + laterals[i - 1].shape[1:3]
+                + laterals[i].shape[3:],
+                method="nearest",
+            )
+            laterals[i - 1] = laterals[i - 1] + up
+        outs = [
+            nn.Conv(
+                self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                use_bias=True, dtype=self.dtype, name=f"fpn_{i}",
+            )(lat)
+            for i, lat in enumerate(laterals)
+        ]
+        # num_outs == len(inputs) for the released configs (4 levels); the
+        # "on_output" extra-conv path (mmdet FPN) kicks in only when more
+        # outputs than inputs are requested.
+        for i in range(len(outs), self.num_outs):
+            src = nn.relu(outs[-1])
+            outs.append(
+                nn.Conv(
+                    self.out_channels, (3, 3), strides=(2, 2),
+                    padding=[(1, 1), (1, 1)], use_bias=True, dtype=self.dtype,
+                    name=f"fpn_extra_{i}",
+                )(src)
+            )
+        return outs
+
+
+class DenseDepthNet(nn.Module):
+    """Auxiliary per-level 1x1-conv depth head.
+
+    Mirrors reference models/blocks.py:264-301: `exp()` activation scaled
+    by focal/equal_focal; used for training-time supervision only.
+    """
+
+    num_depth_layers: int = 3
+    equal_focal: float = 100.0
+    max_depth: float = 60.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feature_maps: Sequence[jnp.ndarray], focal=None):
+        """feature_maps: per-level [bs, cams, H, W, C]; focal: [bs, cams]."""
+        depths = []
+        for i, feat in enumerate(feature_maps[: self.num_depth_layers]):
+            bs, cams = feat.shape[:2]
+            d = nn.Conv(
+                1, (1, 1), use_bias=True, dtype=jnp.float32,
+                name=f"depth_layer_{i}",
+            )(feat.astype(jnp.float32))
+            d = jnp.exp(d)[..., 0]  # [bs, cams, H, W]
+            if focal is not None:
+                d = d * (focal[:, :, None, None] / self.equal_focal)
+            depths.append(d)
+        return depths
+
+
+def dense_depth_loss(
+    depth_preds: Sequence[jnp.ndarray],
+    gt_depths: Sequence[jnp.ndarray],
+    max_depth: float = 60.0,
+    loss_weight: float = 0.2,
+) -> jnp.ndarray:
+    """Sparse L1 depth loss (reference models/blocks.py:303-322).
+
+    gt_depths: per-level [bs, cams, H, W], zero where unsupervised.
+    """
+    total = 0.0
+    num_levels = len(depth_preds)
+    for pred, gt in zip(depth_preds, gt_depths):
+        pred = pred.astype(jnp.float32).reshape(-1)
+        gt = gt.astype(jnp.float32).reshape(-1)
+        fg = (gt > 0.0) & jnp.isfinite(pred)
+        pred = jnp.clip(pred, 0.0, max_depth)
+        err = jnp.where(fg, jnp.abs(pred - gt), 0.0).sum()
+        denom = jnp.maximum(fg.sum().astype(jnp.float32) * num_levels, 1.0)
+        total = total + err / denom * loss_weight
+    return total

@@ -1,0 +1,97 @@
+"""SimPB detector: backbone -> FPN -> packed features -> decoder head.
+
+TPU-native equivalent of reference models/simpb.py:26-129. The 6-camera
+axis folds into the batch for the conv trunk (simpb.py:63-91), features
+pack into the static column layout, and the head threads explicit
+temporal state. Outputs are fixed-shape; host-side code formats ragged
+results.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs.base import ModelConfig
+from ..ops.format import SpatialShapes, pack_feature_maps
+from .backbone import FPN, DenseDepthNet, ResNet
+from .grid_mask import grid_mask
+from .head import SimPBHead
+from .instance_bank import TemporalState
+
+
+class SimPB(nn.Module):
+    cfg: ModelConfig
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet(
+            depth=self.cfg.backbone_depth,
+            dtype=self.dtype,
+            remat=self.cfg.backbone_remat,
+            name="img_backbone",
+        )
+        self.neck = FPN(
+            out_channels=self.cfg.head.embed_dims,
+            num_outs=self.cfg.head.num_levels,
+            dtype=self.dtype,
+            name="img_neck",
+        )
+        self.depth_branch = DenseDepthNet(
+            num_depth_layers=self.cfg.num_depth_layers, name="depth_branch"
+        )
+        self.head = SimPBHead(self.cfg.head, dtype=self.dtype, name="head")
+
+    def extract_feat(
+        self, img: jnp.ndarray, train: bool = False, focal=None,
+        return_depth: bool = False,
+    ):
+        """img: [bs, cams, H, W, 3] normalised images."""
+        bs, cams = img.shape[:2]
+        x = img.reshape((bs * cams,) + img.shape[2:])
+        if train and self.cfg.use_grid_mask:
+            x = grid_mask(self.make_rng("aug"), x)
+        feats = self.backbone(x.astype(self.dtype), train=train)
+        feats = self.neck(feats)
+        feats = [f.reshape((bs, cams) + f.shape[1:]) for f in feats]
+        depths = None
+        if return_depth:
+            depths = self.depth_branch(feats, focal)
+        # NHWC -> pack to [bs, cams, ΣHW, C]
+        col_feats, spatial_shapes = pack_feature_maps(feats)
+        return col_feats, spatial_shapes, depths
+
+    def __call__(
+        self,
+        img: jnp.ndarray,
+        projection_mat: jnp.ndarray,  # [bs, cams, 4, 4]
+        temporal: Optional[TemporalState] = None,
+        time_interval: Optional[jnp.ndarray] = None,  # [bs]
+        temp2cur: Optional[jnp.ndarray] = None,  # [bs, 4, 4]
+        focal: Optional[jnp.ndarray] = None,  # [bs, cams]
+        dn: Optional[Any] = None,
+        train: bool = False,
+    ) -> Dict[str, Any]:
+        col_feats, spatial_shapes, depths = self.extract_feat(
+            img, train=train, focal=focal, return_depth=train
+        )
+        # head runs in fp32 (reference forces head inputs fp32, simpb.py:93)
+        outs = self.head(
+            col_feats.astype(jnp.float32),
+            spatial_shapes,
+            projection_mat.astype(jnp.float32),
+            self.cfg.input_size,
+            temporal=temporal,
+            time_interval=time_interval,
+            temp2cur=temp2cur,
+            dn=dn,
+            train=train,
+        )
+        if depths is not None:
+            outs["depth_preds"] = depths
+        return outs

@@ -1,0 +1,194 @@
+"""Per-camera query-group attention (2D branch).
+
+TPU-native equivalents of reference models/group_attn.py:
+
+* `QueryGroupSelfAttention` — the reference builds a block-diagonal
+  `-inf` mask over ragged per-camera groups and runs one big MHA
+  (group_attn.py:104-133). With static per-camera capacity K the groups
+  are constant slices, so we fold cameras into the batch axis and run a
+  dense per-camera attention instead — no mask materialisation, and
+  invalid (padded) slots are masked as keys. `nan_to_num` on fully
+  masked rows (group_attn.py:131) is handled inside `masked_softmax`.
+
+* `QueryGroupMSDA` — the reference loops over camera groups calling the
+  mmcv CUDA `MultiScaleDeformableAttnFunction` per camera
+  (group_attn.py:222-235). Here cameras fold into the batch axis and a
+  single XLA msda contraction covers all groups.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.format import SpatialShapes
+from ..ops.sampling import msda
+from .layers import MultiheadAttention
+
+
+class QueryGroupSelfAttention(nn.Module):
+    """Self-attention restricted to each camera's query slots.
+
+    Operates on the decoupled (2x embed) concat of query+pos like the
+    reference's graph_model2d path (simpb_head.py:312-321); the caller
+    provides already-concatenated queries and the `fc_before2d` value.
+    """
+
+    embed_dims: int  # attention width (2x model dim when decoupled)
+    num_heads: int = 8
+    num_cams: int = 6
+    attn_drop: float = 0.1
+    proj_drop: float = 0.0
+    out_drop: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # [bs, cams*K, E]
+        value: jnp.ndarray,  # [bs, cams*K, E]
+        valid: jnp.ndarray,  # [bs, cams*K] bool
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        bs, q_total, e = query.shape
+        k = q_total // self.num_cams
+        fold = lambda x: x.reshape(bs * self.num_cams, k, *x.shape[2:])
+        q = fold(query)
+        v = fold(value)
+        key_mask = fold(valid)
+        # mask invalid slots as keys: [B, 1, K] broadcast over query rows
+        bias = jnp.where(key_mask[:, None, :], 0.0, -jnp.inf)
+        out = MultiheadAttention(
+            embed_dims=self.embed_dims,
+            num_heads=self.num_heads,
+            attn_drop=self.attn_drop,
+            dtype=self.dtype,
+            name="attn",
+        )(q, q, v, attn_mask=bias, deterministic=deterministic)
+        if self.out_drop > 0.0:
+            out = nn.Dropout(rate=self.out_drop)(
+                out, deterministic=deterministic
+            )
+        out = out.reshape(bs, q_total, e)
+        return query + out
+
+
+def msda_offset_bias_init(num_heads: int, num_levels: int, num_points: int):
+    """Grid-direction bias init for sampling offsets (mmcv MSDA init)."""
+    thetas = np.arange(num_heads, dtype=np.float32) * (
+        2.0 * np.pi / num_heads
+    )
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], axis=-1)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(
+        grid[:, None, None, :], (1, num_levels, num_points, 1)
+    )
+    for i in range(num_points):
+        grid[:, :, i, :] *= i + 1
+    flat = grid.reshape(-1)
+
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        return jnp.asarray(flat, dtype).reshape(shape)
+
+    return init
+
+
+class QueryGroupMSDA(nn.Module):
+    """Per-camera multi-scale deformable cross-attention for 2D queries.
+
+    Reference group_attn.py:136-256 with `residual_mode='cat'`
+    (config:185-192): each camera's query slice attends only to its own
+    camera's multi-level features. Sampling locations whose allocated
+    reference depth is zero are zeroed (group_attn.py:218-221) — with
+    static allocation this covers exactly the padded slots.
+    """
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_levels: int = 4
+    num_points: int = 4
+    num_cams: int = 6
+    dropout: float = 0.1
+    residual_mode: str = "cat"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # [bs, cams*K, C]
+        query_pos: jnp.ndarray,  # [bs, cams*K, C]
+        reference_points: jnp.ndarray,  # [bs, cams*K, 2] normalised
+        ref_depth: jnp.ndarray,  # [bs, cams*K, 1]
+        value: jnp.ndarray,  # [bs, cams, ΣHW, C]
+        spatial_shapes: SpatialShapes,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        bs, q_total, c = query.shape
+        k = q_total // self.num_cams
+        identity = query
+        if query_pos is not None:
+            query = query + query_pos
+
+        head_dim = self.embed_dims // self.num_heads
+        v = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")(value)
+        v = v.reshape(
+            bs * self.num_cams, -1, self.num_heads, head_dim
+        )
+
+        offsets = nn.Dense(
+            self.num_heads * self.num_levels * self.num_points * 2,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=msda_offset_bias_init(
+                self.num_heads, self.num_levels, self.num_points
+            ),
+            name="sampling_offsets",
+        )(query).reshape(
+            bs, q_total, self.num_heads, self.num_levels, self.num_points, 2
+        )
+        attn = nn.Dense(
+            self.num_heads * self.num_levels * self.num_points,
+            dtype=self.dtype,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query).reshape(
+            bs, q_total, self.num_heads, self.num_levels * self.num_points
+        )
+        attn = jax.nn.softmax(attn, axis=-1).reshape(
+            bs, q_total, self.num_heads, self.num_levels, self.num_points
+        )
+
+        # offsets normalised per level by (W, H) (group_attn.py:191-196)
+        normalizer = jnp.asarray(
+            [(w_, h_) for h_, w_ in spatial_shapes.shapes], dtype=offsets.dtype
+        )  # [L, 2]
+        loc = (
+            reference_points[:, :, None, None, None, :]
+            + offsets / normalizer[None, None, None, :, None, :]
+        )
+        # zero locations for slots without an allocated depth
+        loc = jnp.where(ref_depth[:, :, None, None, None, :] > 0, loc, 0.0)
+
+        loc = loc.reshape(
+            bs * self.num_cams, k, self.num_heads, self.num_levels,
+            self.num_points, 2,
+        )
+        w = attn.reshape(
+            bs * self.num_cams, k, self.num_heads, self.num_levels,
+            self.num_points,
+        )
+        out = msda(v, spatial_shapes, loc, w)
+        out = out.reshape(bs, q_total, self.embed_dims)
+        out = nn.Dense(self.embed_dims, dtype=self.dtype, name="output_proj")(
+            out
+        )
+        if self.dropout > 0.0:
+            out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
+        if self.residual_mode == "add":
+            return out + identity
+        return jnp.concatenate([out, identity], axis=-1)

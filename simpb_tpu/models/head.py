@@ -1,0 +1,581 @@
+"""SimPB head: the interleaved 2D/3D decoder driven by `operation_order`.
+
+TPU-native rebuild of the reference `SimPBHead`
+(models/simpb_head.py:32-1123). The decoder remains a config-driven
+program over named ops (ffn / norm / allocation / aggregation /
+qg_self_attn / qg_cross_attn / refine2d / gnn / temp_gnn / deformable /
+refine3d — simpb_head.py:164-186), but:
+
+* all shapes are static — the ragged 2D query list becomes per-camera
+  capacity-K slots (see simpb_tpu/models/allocation.py);
+* the temporal instance bank is explicit functional state
+  (simpb_tpu/models/instance_bank.py);
+* decoupled attention (concat query+pos, shared fc_before/fc_after
+  projections — simpb_head.py:298-321) is preserved parameter-for-
+  parameter for checkpoint conversion.
+
+Denoising (DN) query blocks enter as an optional fixed-shape bundle; when
+absent the head runs the pure inference program.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs.base import HeadConfig
+from ..ops.format import SpatialShapes
+from .aggregation import ReWeight
+from .allocation import Allocation, allocate_queries, dispatch_to_2d
+from .det2d_blocks import SparseBox2DEncoder, SparseBox2DRefinementModule
+from .det3d_blocks import SparseBox3DEncoder, SparseBox3DRefinementModule
+from .dfa import DeformableFeatureAggregation
+from .group_attn import QueryGroupMSDA, QueryGroupSelfAttention
+from .instance_bank import InstanceBank, TemporalState
+from .layers import AsymmetricFFN, ResidualAttention
+
+
+class SimPBHead(nn.Module):
+    cfg: HeadConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        e = c.embed_dims
+        self.bank = InstanceBank(
+            num_anchor=c.num_anchor,
+            num_temp_instances=c.num_temp_instances,
+            embed_dims=e,
+            confidence_decay=c.confidence_decay,
+            default_time_interval=c.default_time_interval,
+            max_time_interval=c.max_time_interval,
+        )
+        # learnable anchors (k-means-initialised via checkpoint utilities)
+        # and the fixed-zero instance feature (feat_grad=False, config:127)
+        self.anchor = self.param(
+            "anchor",
+            nn.initializers.uniform(scale=1.0),
+            (c.num_anchor, 11),
+        )
+        self.instance_feature = self.param(
+            "instance_feature", nn.initializers.zeros, (c.num_anchor, e)
+        )
+
+        # decoupled-attn component dims [e/2, e/8, e/8, e/4] sum to e
+        # (released config: [128, 32, 32, 64] at e=256, config:136-144)
+        self.anchor_encoder = SparseBox3DEncoder(
+            embed_dims=(e // 2, e // 8, e // 8, e // 4), dtype=self.dtype
+        )
+        self.anchor_encoder2d = SparseBox2DEncoder(
+            embed_dims=e, dtype=self.dtype
+        )
+
+        dense = lambda f, name: nn.Dense(
+            f, use_bias=False, dtype=self.dtype, name=name
+        )
+        if c.decouple_attn:
+            self.fc_before = dense(e * 2, "fc_before")
+            self.fc_after = dense(e, "fc_after")
+        if c.decouple_attn2d:
+            self.fc_before2d = dense(e * 2, "fc_before2d")
+            self.fc_after2d = dense(e, "fc_after2d")
+
+        attn_dims = e * 2 if c.decouple_attn else e
+        attn2d_dims = e * 2 if c.decouple_attn2d else e
+
+        layers: List[Any] = []
+        reweights: Dict[int, Any] = {}
+        for i, op in enumerate(c.operation_order):
+            if op == "ffn":
+                layers.append(
+                    AsymmetricFFN(
+                        embed_dims=e,
+                        in_channels=e * 2,
+                        feedforward_channels=e * 4,
+                        ffn_drop=c.drop_out,
+                        dtype=self.dtype,
+                        name=f"op{i}_ffn",
+                    )
+                )
+            elif op == "norm":
+                layers.append(nn.LayerNorm(dtype=self.dtype, name=f"op{i}_norm"))
+            elif op in ("gnn", "temp_gnn"):
+                layers.append(
+                    ResidualAttention(
+                        embed_dims=attn_dims,
+                        num_heads=c.num_groups,
+                        attn_drop=c.drop_out,
+                        dtype=self.dtype,
+                        name=f"op{i}_{op}",
+                    )
+                )
+            elif op == "deformable":
+                layers.append(
+                    DeformableFeatureAggregation(
+                        embed_dims=e,
+                        num_groups=c.num_groups,
+                        num_levels=c.num_levels,
+                        num_cams=c.num_cams,
+                        attn_drop=c.dfa_attn_drop,
+                        num_learnable_pts=c.num_learnable_pts,
+                        dtype=self.dtype,
+                        name=f"op{i}_deformable",
+                    )
+                )
+            elif op == "refine3d":
+                layers.append(
+                    SparseBox3DRefinementModule(
+                        embed_dims=e,
+                        num_cls=c.num_classes,
+                        refine_yaw=True,
+                        with_quality_estimation=c.with_quality_estimation,
+                        dtype=self.dtype,
+                        name=f"op{i}_refine3d",
+                    )
+                )
+            elif op == "refine2d":
+                layers.append(
+                    SparseBox2DRefinementModule(
+                        embed_dims=e,
+                        num_cls=c.num_classes,
+                        dtype=self.dtype,
+                        name=f"op{i}_refine2d",
+                    )
+                )
+            elif op == "qg_self_attn":
+                layers.append(
+                    QueryGroupSelfAttention(
+                        embed_dims=attn2d_dims,
+                        num_heads=c.num_groups,
+                        num_cams=c.num_cams,
+                        attn_drop=c.drop_out,
+                        out_drop=0.1,
+                        dtype=self.dtype,
+                        name=f"op{i}_qg_self_attn",
+                    )
+                )
+            elif op == "qg_cross_attn":
+                layers.append(
+                    QueryGroupMSDA(
+                        embed_dims=e,
+                        num_heads=c.num_groups,
+                        num_levels=c.num_levels,
+                        num_cams=c.num_cams,
+                        dropout=c.drop_out,
+                        dtype=self.dtype,
+                        name=f"op{i}_qg_cross_attn",
+                    )
+                )
+            elif op == "aggregation":
+                layers.append(
+                    ResidualAttention(
+                        embed_dims=attn_dims,
+                        num_heads=c.num_groups,
+                        attn_drop=c.drop_out,
+                        dtype=self.dtype,
+                        name=f"op{i}_aggregation_attn",
+                    )
+                )
+                reweights[i] = ReWeight(
+                    f_dim=e, dtype=self.dtype, name=f"op{i}_reweight"
+                )
+            elif op == "allocation":
+                layers.append(None)
+            else:
+                raise NotImplementedError(op)
+        self.layers = layers
+        self.reweight_modules = reweights
+
+    # ------------------------------------------------------------------
+    # decoupled attention helpers (simpb_head.py:298-321)
+    # ------------------------------------------------------------------
+    def graph_model(
+        self, layer, query, key=None, value=None, query_pos=None,
+        key_pos=None, attn_mask=None, deterministic=True,
+    ):
+        if self.cfg.decouple_attn:
+            query = jnp.concatenate([query, query_pos], axis=-1)
+            if key is not None:
+                key = jnp.concatenate([key, key_pos], axis=-1)
+            query_pos, key_pos = None, None
+        if value is not None:
+            value = self.fc_before(value)
+        out = layer(
+            query, key, value, query_pos=query_pos, key_pos=key_pos,
+            attn_mask=attn_mask, deterministic=deterministic,
+        )
+        return self.fc_after(out)
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        col_feats: jnp.ndarray,  # [bs, cams, ΣHW, C]
+        spatial_shapes: SpatialShapes,
+        projection_mat: jnp.ndarray,  # [bs, cams, 4, 4]
+        image_wh: tuple,  # static (W, H)
+        temporal: Optional[TemporalState] = None,
+        time_interval: Optional[jnp.ndarray] = None,  # [bs]
+        temp2cur: Optional[jnp.ndarray] = None,  # [bs, 4, 4]
+        dn: Optional[Any] = None,  # DnBundle (training)
+        train: bool = False,
+    ) -> Dict[str, Any]:
+        c = self.cfg
+        bs = col_feats.shape[0]
+        image_wh_arr = jnp.tile(
+            jnp.asarray(image_wh, jnp.float32)[None, None], (bs, c.num_cams, 1)
+        )
+        deterministic = not train
+
+        # ========= instance fetch (simpb_head.py:332-338) =========
+        (
+            instance_feature,
+            anchor,
+            temp_instance_feature,
+            temp_anchor,
+            time_interval,
+            temp_mask,
+        ) = self.bank.get(
+            self.anchor,
+            self.instance_feature,
+            bs,
+            temporal,
+            time_interval,
+            temp2cur,
+        )
+
+        # ========= denoising concat (simpb_head.py:357-381) =========
+        attn_mask = None
+        num_anchor3d = c.num_anchor
+        if dn is not None:
+            num_dn = dn.dn_anchor.shape[1]
+            anchor = jnp.concatenate([anchor, dn.dn_anchor], axis=1)
+            instance_feature = jnp.concatenate(
+                [
+                    instance_feature,
+                    jnp.zeros((bs, num_dn, instance_feature.shape[-1]),
+                              instance_feature.dtype),
+                ],
+                axis=1,
+            )
+            n = num_anchor3d + num_dn
+            attn_mask = jnp.ones((bs, n, n), dtype=bool)
+            attn_mask = attn_mask.at[:, :num_anchor3d, :num_anchor3d].set(False)
+            attn_mask = attn_mask.at[:, num_anchor3d:, num_anchor3d:].set(
+                dn.attn_mask
+            )
+
+        anchor_embed = self.anchor_encoder(anchor)
+        temp_anchor_embed = (
+            self.anchor_encoder(temp_anchor) if temp_anchor is not None else None
+        )
+
+        # ========= decoder program (simpb_head.py:419-627) =========
+        prediction, classification, quality = [], [], []
+        prediction2d, classification2d = [], []
+        prediction_alpha2d = []
+        alloc_list: List[Allocation] = []
+
+        temp_attn_instance = instance_feature
+        alloc: Optional[Allocation] = None
+        anchor2d = anchor_embed2d = None
+        feat2d = None  # instance features while in the 2D branch
+        dn2d = None
+
+        for i, op in enumerate(c.operation_order):
+            layer = self.layers[i]
+            if op == "norm":
+                if feat2d is not None:
+                    feat2d = layer(feat2d)
+                else:
+                    instance_feature = layer(instance_feature)
+            elif op == "ffn":
+                if feat2d is not None:
+                    feat2d = layer(feat2d, deterministic=deterministic)
+                else:
+                    instance_feature = layer(
+                        instance_feature, deterministic=deterministic
+                    )
+            elif op == "allocation":
+                rng = (
+                    self.make_rng("sampling")
+                    if train and self.has_rng("sampling")
+                    else None
+                )
+                alloc = allocate_queries(
+                    anchor[:, :num_anchor3d],
+                    projection_mat,
+                    image_wh,
+                    capacity=c.allocation_capacity,
+                    limit_corners=c.limit_corners,
+                    rng=rng,
+                )
+                feat2d = dispatch_to_2d(alloc, instance_feature[:, :num_anchor3d])
+                anchor2d = alloc.anchor2d
+                if dn is not None:
+                    dn2d = self._allocate_dn2d(
+                        anchor[:, num_anchor3d:], projection_mat, image_wh, dn
+                    )
+                    feat2d = jnp.concatenate(
+                        [
+                            feat2d,
+                            dispatch_to_2d(
+                                dn2d, instance_feature[:, num_anchor3d:]
+                            ),
+                        ],
+                        axis=1,
+                    )
+                    anchor2d = jnp.concatenate(
+                        [anchor2d, dn2d.anchor2d], axis=1
+                    )
+                anchor_embed2d = self.anchor_encoder2d(anchor2d)
+            elif op == "qg_self_attn":
+                feat2d = self._qg_self_attn(
+                    layer, feat2d, anchor_embed2d, alloc, dn2d, deterministic
+                )
+            elif op == "qg_cross_attn":
+                feat2d = self._qg_cross_attn(
+                    layer, feat2d, anchor_embed2d, alloc, dn2d, col_feats,
+                    spatial_shapes, deterministic,
+                )
+            elif op == "refine2d":
+                box2d, cls2d, _, alpha2d = layer(
+                    feat2d, anchor2d, anchor_embed2d, return_cls=True
+                )
+                prediction2d.append(box2d)
+                classification2d.append(cls2d)
+                prediction_alpha2d.append(alpha2d)
+                alloc_list.append(alloc)
+                anchor2d = box2d
+            elif op == "aggregation":
+                instance_feature, anchor_embed = self._aggregate(
+                    i, layer, feat2d, anchor_embed2d, alloc, dn2d,
+                    temp_attn_instance, anchor_embed, num_anchor3d,
+                    attn_mask, deterministic,
+                )
+                feat2d = None
+                dn2d = None
+            elif op == "gnn":
+                instance_feature = self.graph_model(
+                    layer,
+                    instance_feature,
+                    value=instance_feature,
+                    query_pos=anchor_embed,
+                    attn_mask=attn_mask,
+                    deterministic=deterministic,
+                )
+            elif op == "temp_gnn":
+                if temp_instance_feature is None:
+                    instance_feature = self.graph_model(
+                        layer,
+                        instance_feature,
+                        value=instance_feature,
+                        query_pos=anchor_embed,
+                        attn_mask=attn_mask,
+                        deterministic=deterministic,
+                    )
+                else:
+                    instance_feature = self.graph_model(
+                        layer,
+                        instance_feature,
+                        temp_instance_feature,
+                        temp_instance_feature,
+                        query_pos=anchor_embed,
+                        key_pos=temp_anchor_embed,
+                        attn_mask=None,
+                        deterministic=deterministic,
+                    )
+                temp_attn_instance = instance_feature
+            elif op == "deformable":
+                instance_feature = layer(
+                    instance_feature,
+                    anchor,
+                    anchor_embed,
+                    col_feats,
+                    spatial_shapes,
+                    projection_mat,
+                    image_wh_arr,
+                    deterministic=deterministic,
+                )
+            elif op == "refine3d":
+                return_cls = (
+                    train
+                    or len(prediction) == c.num_single_frame_decoder - 1
+                    or i == len(c.operation_order) - 1
+                )
+                anchor, cls, qt = layer(
+                    instance_feature,
+                    anchor,
+                    anchor_embed,
+                    time_interval=time_interval,
+                    return_cls=return_cls,
+                )
+                prediction.append(anchor)
+                classification.append(cls)
+                quality.append(qt)
+                if len(prediction) == c.num_single_frame_decoder and (
+                    temporal is not None
+                ):
+                    instance_feature, anchor = self.bank.update(
+                        instance_feature,
+                        anchor,
+                        cls,
+                        temp_instance_feature,
+                        temp_anchor,
+                        temp_mask,
+                    )
+                if i != len(c.operation_order) - 1:
+                    anchor_embed = self.anchor_encoder(anchor)
+                if (
+                    len(prediction) > c.num_single_frame_decoder
+                    and temp_anchor_embed is not None
+                ):
+                    temp_anchor_embed = anchor_embed[
+                        :, : c.num_temp_instances
+                    ]
+            else:
+                raise NotImplementedError(op)
+
+        output: Dict[str, Any] = {}
+        if dn is not None:
+            output["dn_prediction"] = [p[:, num_anchor3d:] for p in prediction]
+            output["dn_classification"] = [
+                x[:, num_anchor3d:] if x is not None else None
+                for x in classification
+            ]
+            q2 = alloc_list[0].num_queries if alloc_list else 0
+            output["dn_prediction2d"] = [p[:, q2:] for p in prediction2d]
+            output["dn_classification2d"] = [p[:, q2:] for p in classification2d]
+            output["dn_prediction_alpha2d"] = [
+                p[:, q2:] for p in prediction_alpha2d
+            ]
+            prediction = [p[:, :num_anchor3d] for p in prediction]
+            classification = [
+                x[:, :num_anchor3d] if x is not None else None
+                for x in classification
+            ]
+            quality = [
+                x[:, :num_anchor3d] if x is not None else None for x in quality
+            ]
+            prediction2d = [p[:, :q2] for p in prediction2d]
+            classification2d = [p[:, :q2] for p in classification2d]
+            prediction_alpha2d = [p[:, :q2] for p in prediction_alpha2d]
+            instance_feature = instance_feature[:, :num_anchor3d]
+            anchor = anchor[:, :num_anchor3d]
+
+        output.update(
+            prediction=prediction,
+            classification=classification,
+            quality=quality,
+            prediction2d=prediction2d,
+            classification2d=classification2d,
+            prediction_alpha2d=prediction_alpha2d,
+            allocations=alloc_list,
+        )
+
+        # ========= cache for next frame (simpb_head.py:739-746) =========
+        cls_final = classification[-1]
+        new_state, temp_confidence = self.bank.cache(
+            instance_feature, anchor, cls_final, temporal, temp_mask
+        )
+        if not train:
+            instance_id, new_state = self.bank.assign_instance_ids(
+                cls_final,
+                new_state,
+                temp_confidence,
+                threshold=c.score_threshold,
+                temp_mask=temp_mask,
+            )
+            output["instance_id"] = instance_id
+        output["temporal_state"] = new_state
+        return output
+
+    # ------------------------------------------------------------------
+    def _qg_self_attn(
+        self, layer, feat2d, anchor_embed2d, alloc, dn2d, deterministic
+    ):
+        c = self.cfg
+        if c.decouple_attn2d:
+            query = jnp.concatenate([feat2d, anchor_embed2d], axis=-1)
+            value = self.fc_before2d(feat2d)
+        else:
+            query = feat2d + anchor_embed2d
+            value = feat2d
+        valid = alloc.valid
+        if dn2d is not None:
+            # real and DN slots are independent camera-group blocks; fold
+            # them as extra "cameras" so DN queries self-attend per camera
+            # like the reference's interleaved groups (denoise.py:177-228).
+            valid = jnp.concatenate([valid, dn2d.valid], axis=1)
+        out = layer(query, value, valid, deterministic=deterministic)
+        return self.fc_after2d(out) if c.decouple_attn2d else out
+
+    def _qg_cross_attn(
+        self, layer, feat2d, anchor_embed2d, alloc, dn2d, col_feats,
+        spatial_shapes, deterministic,
+    ):
+        ref = alloc.anchor2d
+        depth = alloc.ref_depth
+        if dn2d is not None:
+            ref = jnp.concatenate([ref, dn2d.anchor2d], axis=1)
+            depth = jnp.concatenate([depth, dn2d.ref_depth], axis=1)
+        return layer(
+            feat2d,
+            anchor_embed2d,
+            ref[..., :2],
+            depth,
+            col_feats,
+            spatial_shapes,
+            deterministic=deterministic,
+        )
+
+    def _aggregate(
+        self, i, attn_layer, feat2d, anchor_embed2d, alloc, dn2d,
+        temp_attn_instance, anchor_embed, num_anchor3d, attn_mask,
+        deterministic,
+    ):
+        """AdaptiveQueryAggregation (reference aggregation.py:10-101):
+        gate 2D queries by a learned alpha, average them back to their 3D
+        parents via trans_matrixᵀ, add onto the pre-temporal 3D queries,
+        then run the decoupled self-attention."""
+        reweight = self.reweight_modules[i]
+        q2 = alloc.num_queries
+        query2d = feat2d[:, :q2]
+        pos2d = anchor_embed2d[:, :q2]
+        from2d, pos_from2d = reweight(
+            query2d, pos2d, alloc.trans_matrix, alloc.center_matrix
+        )
+        if dn2d is not None:
+            dn_query2d = feat2d[:, q2:]
+            dn_pos2d = anchor_embed2d[:, q2:]
+            dn_from2d, dn_pos_from2d = reweight(
+                dn_query2d, dn_pos2d, dn2d.trans_matrix, dn2d.center_matrix
+            )
+            from2d = jnp.concatenate([from2d, dn_from2d], axis=1)
+            pos_from2d = jnp.concatenate([pos_from2d, dn_pos_from2d], axis=1)
+
+        query3d = temp_attn_instance + from2d
+        pos3d = anchor_embed + pos_from2d
+        merged = self.graph_model(
+            attn_layer,
+            query3d,
+            value=query3d,
+            query_pos=pos3d,
+            attn_mask=attn_mask,
+            deterministic=deterministic,
+        )
+        return merged, pos3d
+
+    def _allocate_dn2d(self, dn_anchor, projection_mat, image_wh, dn):
+        """2D projection of DN anchors (Denoise2D.get_dn_project,
+        reference detection2d/denoise.py:22-174), using the GT-derived
+        visibility mask carried in the DN bundle."""
+        return allocate_queries(
+            dn_anchor,
+            projection_mat,
+            image_wh,
+            capacity=self.cfg.dn_allocation_capacity,
+            limit_corners=self.cfg.limit_corners,
+            rng=None,
+        )
