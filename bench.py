@@ -1,0 +1,108 @@
+"""Benchmark: 6-camera streaming inference throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: >= 50 six-camera frames/sec/chip on TPU v5e
+(BASELINE.md; the reference publishes no fps number — tools/benchmark.py
+is its measurement harness, which this replaces).
+
+Methodology: the streaming loop runs ON DEVICE via `lax.scan` over a
+window of frames with the temporal instance-bank state as the scan
+carry — one XLA dispatch for the whole window, so host<->device command
+latency (large through the axon tunnel) amortises away and the number
+reflects device throughput of the full per-frame pipeline
+(backbone + FPN + packed features + interleaved 2D/3D decoder + state
+update).
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simpb_tpu.configs.base import simpb_r50_704x256
+from simpb_tpu.models.detector import SimPB
+from simpb_tpu.models.instance_bank import TemporalState
+
+BASELINE_FPS = 50.0
+WINDOW = 32
+
+
+def main():
+    import dataclasses
+
+    cfg = dataclasses.replace(simpb_r50_704x256(), compute_dtype="bfloat16")
+    model = SimPB(cfg)
+    bs, cams = 1, cfg.head.num_cams
+    w, h = cfg.input_size
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(bs, cams, h, w, 3)).astype(np.float32))
+    imgs = jnp.asarray(
+        rng.normal(size=(WINDOW, bs, cams, h, w, 3)).astype(np.float32)
+    )
+    proj = jnp.asarray(
+        np.tile(np.eye(4, dtype=np.float32), (bs, cams, 1, 1))
+        * np.float32(100.0)
+    )
+    variables = jax.jit(
+        lambda: model.init(
+            {
+                "params": jax.random.PRNGKey(0),
+                "aug": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2),
+                "sampling": jax.random.PRNGKey(3),
+            },
+            img,
+            proj,
+            train=False,
+        )
+    )()
+
+    state = TemporalState.init(
+        bs, cfg.head.num_temp_instances, cfg.head.num_anchor,
+        cfg.head.embed_dims,
+    )
+    dt = jnp.full((bs,), 0.5)
+    t2c = jnp.tile(jnp.eye(4)[None], (bs, 1, 1))
+
+    @jax.jit
+    def rollout(variables, imgs, proj, state, dt, t2c):
+        def body(carry, frame):
+            out = model.apply(
+                variables, frame, proj, temporal=carry, time_interval=dt,
+                temp2cur=t2c, train=False,
+            )
+            score = out["classification"][-1].max()
+            return out["temporal_state"], score
+
+        final_state, scores = jax.lax.scan(body, state, imgs)
+        return final_state, scores
+
+    # compile + warm (fetching values is the only reliable sync through
+    # the axon tunnel; block_until_ready can return early there)
+    final_state, scores = rollout(variables, imgs, proj, state, dt, t2c)
+    np.asarray(scores)
+
+    t0 = time.perf_counter()
+    final_state, scores = rollout(
+        variables, imgs, proj, final_state, dt, t2c
+    )
+    np.asarray(scores)
+    elapsed = time.perf_counter() - t0
+    fps = WINDOW * bs / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "6cam_frames_per_sec_per_chip",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

