@@ -250,6 +250,19 @@ class NuScenesDataset:
         sample["aug_config"] = aug
         return sample
 
+    def get_annotations(self, idx: int) -> Dict:
+        """3D GT only (lidar frame), no image pipeline — for evaluation."""
+        info = self.data_infos[idx]
+        geo = self.frame_geometry(info)
+        sample: Dict = {"lidar2global": geo["lidar2global"]}
+        saved = self.with_info2d
+        self.with_info2d = False
+        try:
+            self._add_annotations(sample, info, geo)
+        finally:
+            self.with_info2d = saved
+        return sample
+
     def _add_annotations(self, sample, info, geo):
         """3D + 2D GT assembly (reference get_ann_info,
         nuscenes_dataset.py:427-502)."""

@@ -1,0 +1,231 @@
+"""Self-contained nuScenes detection metrics (mAP / NDS).
+
+The reference delegates evaluation to the nuscenes-devkit
+(nuscenes_dataset.py:588-742). That package is not part of this
+framework's runtime deps, so the official metric definitions are
+implemented here directly (host-side numpy):
+
+* per-class, per-distance-threshold (0.5/1/2/4 m BEV center distance)
+  greedy matching by descending score;
+* AP = normalised area of the precision-recall curve above
+  recall 0.1 / precision 0.1, 101-point interpolation;
+* TP errors (ATE, ASE, AOE, AVE, AAE) averaged over matches of the
+  2.0 m threshold above recall 0.1, cumulative-mean interpolated onto
+  the recall grid;
+* NDS = (5*mAP + sum over TP metrics of (1 - min(1, err))) / 10.
+
+Class conventions follow the devkit: barrier has period-pi orientation,
+traffic_cone skips AOE/AVE/AAE, barrier skips AVE/AAE.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..configs.base import CLASS_NAMES
+
+DIST_THRESHOLDS = (0.5, 1.0, 2.0, 4.0)
+TP_THRESHOLD = 2.0
+MIN_RECALL = 0.1
+MIN_PRECISION = 0.1
+
+ATTR_CLASSES = set(CLASS_NAMES) - {"traffic_cone", "barrier"}
+VEL_CLASSES = set(CLASS_NAMES) - {"traffic_cone", "barrier"}
+ORIENT_CLASSES = set(CLASS_NAMES) - {"traffic_cone"}
+PERIOD_PI_CLASSES = {"barrier"}
+
+
+def _yaw_diff(a, b, period=2 * np.pi):
+    d = (a - b) % period
+    return np.minimum(d, period - d)
+
+
+def _size_iou(pred_wlh, gt_wlh):
+    """Aligned 3D IoU of size-only boxes (devkit scale_iou)."""
+    inter = np.prod(np.minimum(pred_wlh, gt_wlh), axis=-1)
+    union = (
+        np.prod(pred_wlh, axis=-1) + np.prod(gt_wlh, axis=-1) - inter
+    )
+    return inter / np.maximum(union, 1e-8)
+
+
+def accumulate_class(
+    preds: List[Dict],
+    gts: List[Dict],
+    class_name: str,
+    dist_th: float,
+):
+    """Greedy center-distance matching for one class/threshold across all
+    samples. preds/gts: per-sample dicts with keys
+    'boxes' [N, 10] decoded (x,y,z,w,l,h,yaw,vx,vy[,vz]), 'scores',
+    'labels', optionally 'attrs'. Returns (tp, fp, scores, match_errors
+    dict lists, num_gt)."""
+    cls_idx = CLASS_NAMES.index(class_name)
+    all_scores, all_tp, all_fp = [], [], []
+    err_trans, err_scale, err_orient, err_vel, err_attr = [], [], [], [], []
+    num_gt = 0
+
+    for pred, gt in zip(preds, gts):
+        gmask = gt["labels"] == cls_idx
+        gboxes = gt["boxes"][gmask]
+        gattrs = gt.get("attrs")
+        gattrs = gattrs[gmask] if gattrs is not None else None
+        num_gt += len(gboxes)
+        pmask = pred["labels"] == cls_idx
+        pboxes = pred["boxes"][pmask]
+        pscores = pred["scores"][pmask]
+        pattrs = pred.get("attrs")
+        pattrs = pattrs[pmask] if pattrs is not None else None
+
+        order = np.argsort(-pscores)
+        taken = np.zeros(len(gboxes), bool)
+        for pi in order:
+            all_scores.append(pscores[pi])
+            if len(gboxes) == 0:
+                all_tp.append(0.0)
+                all_fp.append(1.0)
+                continue
+            d = np.linalg.norm(
+                gboxes[:, :2] - pboxes[pi, :2][None], axis=-1
+            )
+            d = np.where(taken, np.inf, d)
+            gi = int(np.argmin(d))
+            if d[gi] < dist_th:
+                taken[gi] = True
+                all_tp.append(1.0)
+                all_fp.append(0.0)
+                err_trans.append(float(d[gi]))
+                err_scale.append(
+                    1.0 - float(_size_iou(pboxes[pi, 3:6], gboxes[gi, 3:6]))
+                )
+                period = (
+                    np.pi if class_name in PERIOD_PI_CLASSES else 2 * np.pi
+                )
+                err_orient.append(
+                    float(_yaw_diff(pboxes[pi, 6], gboxes[gi, 6], period))
+                )
+                err_vel.append(
+                    float(
+                        np.linalg.norm(pboxes[pi, 7:9] - gboxes[gi, 7:9])
+                    )
+                )
+                if pattrs is not None and gattrs is not None:
+                    err_attr.append(float(pattrs[pi] != gattrs[gi]))
+                else:
+                    err_attr.append(0.0)
+            else:
+                all_tp.append(0.0)
+                all_fp.append(1.0)
+
+    return {
+        "scores": np.asarray(all_scores),
+        "tp": np.asarray(all_tp),
+        "fp": np.asarray(all_fp),
+        "trans": np.asarray(err_trans),
+        "scale": np.asarray(err_scale),
+        "orient": np.asarray(err_orient),
+        "vel": np.asarray(err_vel),
+        "attr": np.asarray(err_attr),
+        "num_gt": num_gt,
+    }
+
+
+def _average_precision(acc) -> float:
+    if acc["num_gt"] == 0:
+        return float("nan")  # class absent from GT: excluded from the mean
+    if len(acc["scores"]) == 0:
+        return 0.0
+    order = np.argsort(-acc["scores"], kind="stable")
+    tp = np.cumsum(acc["tp"][order])
+    fp = np.cumsum(acc["fp"][order])
+    recall = tp / acc["num_gt"]
+    precision = tp / np.maximum(tp + fp, 1e-9)
+    # 101-point interpolation (devkit: np.interp on recall grid)
+    grid = np.linspace(0, 1, 101)
+    prec_i = np.interp(grid, recall, precision, right=0)
+    prec_i = np.maximum(prec_i - MIN_PRECISION, 0.0)
+    prec_i[grid < MIN_RECALL] = 0.0
+    return float(prec_i.sum() / (101 * (1 - MIN_RECALL - MIN_PRECISION)))
+
+
+def _tp_error(acc, key) -> float:
+    """Cumulative-mean TP error above min recall (devkit calc_tp)."""
+    if acc["num_gt"] == 0 or acc[key].size == 0:
+        return float("nan")
+    order = np.argsort(-acc["scores"], kind="stable")
+    tp_sorted = acc["tp"][order]
+    match_idx = np.where(tp_sorted > 0)[0]
+    if match_idx.size == 0:
+        return 1.0
+    errs = acc[key]  # already in match (score-desc per sample) order
+    # re-sort errors globally by score: rebuild via matches
+    # acc[key] entries were appended in per-sample score order; rebuild
+    # a global score-ordered error list
+    match_scores = acc["scores"][acc["tp"] > 0]
+    eorder = np.argsort(-match_scores, kind="stable")
+    errs = errs[eorder]
+    cum_mean = np.cumsum(errs) / np.arange(1, len(errs) + 1)
+    recall_at_match = np.cumsum(tp_sorted)[match_idx] / acc["num_gt"]
+    grid = np.linspace(MIN_RECALL, 1, 91)
+    vals = np.interp(grid, recall_at_match, cum_mean, right=cum_mean[-1])
+    # devkit: errors past max achieved recall take value 1 implicitly via
+    # conf-threshold cut; approximate by clamping the grid
+    max_recall = recall_at_match[-1]
+    vals = np.where(grid <= max_recall + 1e-9, vals, cum_mean[-1])
+    return float(vals.mean())
+
+
+def evaluate_detections(
+    preds: List[Dict], gts: List[Dict]
+) -> Dict[str, float]:
+    """Full nuScenes detection scores.
+
+    Returns dict with mAP, NDS, mATE/mASE/mAOE/mAVE/mAAE, and per-class
+    AP (`AP_<class>`)."""
+    aps = {}
+    tp_errs = {k: {} for k in ("trans", "scale", "orient", "vel", "attr")}
+    for cls in CLASS_NAMES:
+        cls_aps = []
+        for th in DIST_THRESHOLDS:
+            acc = accumulate_class(preds, gts, cls, th)
+            cls_aps.append(_average_precision(acc))
+            if th == TP_THRESHOLD:
+                tp_errs["trans"][cls] = _tp_error(acc, "trans")
+                tp_errs["scale"][cls] = _tp_error(acc, "scale")
+                tp_errs["orient"][cls] = (
+                    _tp_error(acc, "orient")
+                    if cls in ORIENT_CLASSES
+                    else float("nan")
+                )
+                tp_errs["vel"][cls] = (
+                    _tp_error(acc, "vel")
+                    if cls in VEL_CLASSES
+                    else float("nan")
+                )
+                tp_errs["attr"][cls] = (
+                    _tp_error(acc, "attr")
+                    if cls in ATTR_CLASSES
+                    else float("nan")
+                )
+        aps[cls] = float(np.nanmean(cls_aps))
+
+    mean_ap = float(np.nanmean([v for v in aps.values()]))
+    out = {"mAP": mean_ap}
+    tp_names = {
+        "trans": "mATE",
+        "scale": "mASE",
+        "orient": "mAOE",
+        "vel": "mAVE",
+        "attr": "mAAE",
+    }
+    nds_terms = [5 * mean_ap]
+    for k, name in tp_names.items():
+        vals = [v for v in tp_errs[k].values() if not np.isnan(v)]
+        err = float(np.mean(vals)) if vals else 1.0
+        out[name] = err
+        nds_terms.append(max(0.0, 1.0 - min(1.0, err)))
+    out["NDS"] = float(sum(nds_terms) / 10.0)
+    for cls, ap in aps.items():
+        out[f"AP_{cls}"] = ap
+    return out

@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Equivalent of the reference `tools/train.py` + `custom_train_detector`
+(reference tools/train.py:118-318, apis/mmdet_train.py:38-222): builds
+the dataset + streaming sampler, the pjit'd train step over a 1-D data
+mesh, runs the iteration loop with periodic logging and orbax
+checkpointing. Streaming temporal state threads across iterations like
+the reference's IterBasedRunner over the GroupInBatchSampler stream.
+
+Usage:
+  python tools/train.py --ann-file data/nuscenes/simpb_nuscenes_infos_train.pkl \
+      [--config r50|r101] [--work-dir work_dirs/simpb_r50] [--max-iters N]
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ann-file", required=True)
+    p.add_argument("--data-root", default="")
+    p.add_argument("--config", default="r50", choices=["r50", "r101"])
+    p.add_argument("--work-dir", default="work_dirs/simpb_tpu")
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--max-iters", type=int, default=None)
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--ckpt-interval", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--load-from", default=None,
+                   help="torch .pth or orbax checkpoint to initialise from")
+    p.add_argument("--anchors", default=None,
+                   help="k-means anchor .npy (reference nuscenes_kmeans900.npy)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from simpb_tpu.configs.base import (
+        TrainConfig,
+        simpb_r101_1408x512,
+        simpb_r50_704x256,
+    )
+    from simpb_tpu.data.dataset import NuScenesDataset, pad_sample
+    from simpb_tpu.data.sampler import GroupStreamSampler
+    from simpb_tpu.models.detector import SimPB
+    from simpb_tpu.training.train_step import (
+        build_train_step,
+        create_train_state,
+        init_temporal,
+    )
+
+    cfg = simpb_r50_704x256() if args.config == "r50" else simpb_r101_1408x512()
+    if args.bf16:
+        cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    tc = TrainConfig(batch_size=args.batch_size)
+    if args.max_iters:
+        tc = dataclasses.replace(
+            tc, num_iters_per_epoch=args.max_iters, num_epochs=1
+        )
+
+    fw, fh = cfg.input_size
+    aug_conf = {
+        "resize_lim": (0.40, 0.47),
+        "final_dim": (fh, fw),
+        "bot_pct_lim": (0.0, 0.0),
+        "rot_lim": (0, 0),
+        "H": 900,
+        "W": 1600,
+        "rand_flip": True,
+        "rot3d_range": [-0.3925, 0.3925],
+    }
+    dataset = NuScenesDataset(
+        args.ann_file,
+        data_root=args.data_root,
+        test_mode=False,
+        data_aug_conf=aug_conf,
+        sequences_split_num=2,
+        strides=cfg.strides[: cfg.num_depth_layers],
+    )
+    n_dev = jax.device_count()
+    sampler = GroupStreamSampler(
+        dataset, batch_size=args.batch_size, world_size=n_dev, rank=0,
+        seed=args.seed,
+    )
+
+    model = SimPB(cfg)
+    rng = np.random.default_rng(args.seed)
+    bs_global = args.batch_size * n_dev
+    dummy = {
+        "img": jnp.zeros((bs_global, 6, fh, fw, 3), jnp.float32),
+        "proj": jnp.tile(jnp.eye(4)[None, None], (bs_global, 6, 1, 1)),
+    }
+    variables = jax.jit(
+        lambda: model.init(
+            {
+                "params": jax.random.PRNGKey(args.seed),
+                "aug": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2),
+                "sampling": jax.random.PRNGKey(3),
+            },
+            dummy["img"],
+            dummy["proj"],
+            train=True,
+        )
+    )()
+    variables = jax.tree.map(np.asarray, variables)
+
+    if args.anchors:
+        anchors = np.load(args.anchors).astype(np.float32)
+        variables["params"]["head"]["anchor"] = anchors[
+            : cfg.head.num_anchor
+        ]
+    if args.load_from:
+        from simpb_tpu.utils.torch_convert import (
+            load_torch_checkpoint,
+            merge_params,
+        )
+
+        loaded_p, loaded_s = load_torch_checkpoint(args.load_from, cfg)
+        variables["params"] = merge_params(variables["params"], loaded_p)
+        variables["batch_stats"] = merge_params(
+            variables.get("batch_stats", {}), loaded_s
+        )
+
+    state = create_train_state(model, variables, tc)
+    temporal, dn_state = init_temporal(cfg, bs_global)
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    data_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    state = jax.device_put(state, repl)
+    temporal = jax.device_put(temporal, data_sh)
+    dn_state = jax.device_put(dn_state, data_sh)
+
+    step_fn = jax.jit(build_train_step(model, tc), donate_argnums=(0, 2, 3))
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+
+    key = jax.random.PRNGKey(args.seed)
+    it = iter(sampler)
+    t0 = time.time()
+    max_iters = args.max_iters or tc.max_iters
+    for i in range(max_iters):
+        batch_items = next(it)
+        samples = [
+            pad_sample(dataset.get_sample(idx, aug=aug, rng=rng))
+            for idx, aug in batch_items
+        ]
+        batch = {
+            k: jnp.asarray(np.stack([s[k] for s in samples]))
+            for k in samples[0]
+            if k != "gt_depth"
+        }
+        if "gt_depth" in samples[0]:
+            batch["gt_depth"] = [
+                jnp.asarray(np.stack([s["gt_depth"][l] for s in samples]))
+                for l in range(len(samples[0]["gt_depth"]))
+            ]
+        batch = jax.device_put(batch, data_sh)
+        state, temporal, dn_state, metrics = step_fn(
+            state, batch, temporal, dn_state, key
+        )
+        if (i + 1) % args.log_interval == 0:
+            loss = float(metrics["loss"])
+            dt = time.time() - t0
+            print(
+                f"iter {i + 1}/{max_iters} loss {loss:.4f} "
+                f"({dt / args.log_interval:.2f}s/iter)",
+                flush=True,
+            )
+            t0 = time.time()
+        if (i + 1) % args.ckpt_interval == 0 or i + 1 == max_iters:
+            path = os.path.abspath(
+                os.path.join(args.work_dir, f"ckpt_{i + 1}")
+            )
+            ckptr.save(
+                path,
+                {
+                    "params": jax.tree.map(np.asarray, state.params),
+                    "batch_stats": jax.tree.map(
+                        np.asarray, state.batch_stats
+                    ),
+                    "step": int(state.step),
+                },
+                force=True,
+            )
+            print(f"saved {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
