@@ -60,6 +60,9 @@ class HeadConfig:
     max_time_interval: float = 2.0
     # static 2D allocation (TPU redesign of DynamicQueryAllocation)
     allocation_capacity: int = 256  # K slots per camera
+    # DFA gather compaction: per-camera cap on in-view (anchor, point)
+    # slots actually gathered (None = gather all A*P slots)
+    dfa_gather_capacity: int = 4096
     limit_corners: int = 100  # train-time corner-only cap (config:163)
     # denoising
     num_dn_groups: int = 5
@@ -85,7 +88,11 @@ class ModelConfig:
     input_size: Tuple[int, int] = (704, 256)  # (W, H)
     strides: Tuple[int, ...] = (4, 8, 16, 32)
     head: HeadConfig = dataclasses.field(default_factory=HeadConfig)
-    compute_dtype: str = "float32"  # "bfloat16" for TPU speed
+    compute_dtype: str = "float32"  # conv trunk dtype ("bfloat16" on TPU)
+    # decoder head compute dtype. The reference pins the head to fp32
+    # under fp16 autocast (simpb.py:93) because fp16 is range-unsafe;
+    # bf16 does not share that hazard and buys ~1.2x end-to-end.
+    head_dtype: str = "float32"
 
     @property
     def feature_shapes(self) -> Tuple[Tuple[int, int], ...]:

@@ -45,10 +45,14 @@ class SimPB(nn.Module):
         self.depth_branch = DenseDepthNet(
             num_depth_layers=self.cfg.num_depth_layers, name="depth_branch"
         )
-        # the decoder head always computes in fp32 (the reference forces
-        # head inputs fp32 even under fp16 autocast, simpb.py:93); only
-        # the conv trunk and the sampling gathers run in bf16
-        self.head = SimPBHead(self.cfg.head, dtype=jnp.float32, name="head")
+        # the reference pins the head to fp32 under fp16 autocast
+        # (simpb.py:93); head_dtype="bfloat16" is a TPU-safe speed option
+        head_dtype = (
+            jnp.bfloat16
+            if self.cfg.head_dtype == "bfloat16"
+            else jnp.float32
+        )
+        self.head = SimPBHead(self.cfg.head, dtype=head_dtype, name="head")
 
     def extract_feat(
         self, img: jnp.ndarray, train: bool = False, focal=None,

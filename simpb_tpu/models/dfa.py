@@ -33,6 +33,7 @@ class DeformableFeatureAggregation(nn.Module):
     residual_mode: str = "cat"
     proj_drop: float = 0.0
     num_learnable_pts: int = 6
+    gather_capacity: Optional[int] = 4096
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -99,7 +100,7 @@ class DeformableFeatureAggregation(nn.Module):
         w = weights.transpose(0, 1, 4, 2, 3, 5)
         features = deformable_aggregation(
             col_feats, spatial_shapes, points_2d.astype(col_feats.dtype),
-            w.astype(col_feats.dtype),
+            w.astype(col_feats.dtype), gather_capacity=self.gather_capacity,
         )
 
         output = nn.Dense(self.embed_dims, dtype=self.dtype, name="output_proj")(

@@ -133,12 +133,12 @@ class QueryGroupMSDA(nn.Module):
         if query_pos is not None:
             query = query + query_pos
 
-        head_dim = self.embed_dims // self.num_heads
         v = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")(value)
-        # sample in the incoming feature dtype (bf16 in production) so the
-        # per-level gathers move half the bytes
+        # sample in the incoming feature dtype (bf16 in production); rows
+        # stay full-width — the per-head channel split happens inside the
+        # msda op after sampling (512-byte rows gather far faster)
         v = v.astype(value.dtype).reshape(
-            bs * self.num_cams, -1, self.num_heads, head_dim
+            bs * self.num_cams, -1, self.embed_dims
         )
 
         offsets = nn.Dense(

@@ -144,6 +144,7 @@ class SimPBHead(nn.Module):
                         num_cams=c.num_cams,
                         attn_drop=c.dfa_attn_drop,
                         num_learnable_pts=c.num_learnable_pts,
+                        gather_capacity=c.dfa_gather_capacity,
                         dtype=self.dtype,
                         name=f"op{i}_deformable",
                     )

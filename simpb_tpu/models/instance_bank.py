@@ -169,11 +169,15 @@ class InstanceBank:
 
         Gradients are stopped: the reference detaches cached tensors.
         """
-        instance_feature = jax.lax.stop_gradient(instance_feature)
-        anchor = jax.lax.stop_gradient(anchor)
+        # carried state stays fp32 regardless of head compute dtype so
+        # lax.scan carries keep a stable signature
+        instance_feature = jax.lax.stop_gradient(instance_feature).astype(
+            jnp.float32
+        )
+        anchor = jax.lax.stop_gradient(anchor).astype(jnp.float32)
         conf = jax.nn.sigmoid(
             jax.lax.stop_gradient(confidence_logits).max(axis=-1)
-        )  # [bs, A]
+        ).astype(jnp.float32)  # [bs, A]
         if state is not None:
             decayed = jnp.maximum(
                 state.confidence * self.confidence_decay,

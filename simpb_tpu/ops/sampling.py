@@ -1,41 +1,48 @@
-"""XLA-native deformable sampling ops.
+"""XLA-native deformable sampling ops, tuned for the TPU gather engine.
 
 This module is the TPU equivalent of the reference's two CUDA kernels:
 
 * `deformable_aggregation` — the fused multi-camera multi-scale
   bilinear-sample + weighted-sum op
   (reference ops/src/deformable_aggregation_cuda.cu:129-187).
-* multi-scale deformable attention sampling, used per camera group
-  (mmcv `MultiScaleDeformableAttnFunction`, invoked at
+* `msda` — multi-scale deformable attention sampling, used per camera
+  group (mmcv `MultiScaleDeformableAttnFunction`, invoked at
   reference models/group_attn.py:229-232).
 
-Sampling semantics replicated exactly from the CUDA kernel:
-  * locations are normalised to (0, 1); a sample is **dropped entirely**
+Sampling semantics replicated exactly from the CUDA kernels:
+  * DAF locations are normalised to (0, 1); a sample is dropped entirely
     when either coordinate is <= 0 or >= 1 (cu:169-171);
-  * pixel mapping is `h_im = loc_h * H - 0.5` (align_corners=False,
-    cu:180-181);
-  * out-of-border bilinear corners contribute zero (cu:35-53).
+  * pixel mapping is `loc * size - 0.5` (align_corners=False, cu:180-181);
+  * out-of-border bilinear corners contribute zero (cu:35-53); MSDA uses
+    plain zero-padding (grid_sample) without the whole-sample drop.
 
-TPU performance notes (profiled on v5e):
-  * the two bilinear corners sharing a row are fetched with ONE
-    `lax.gather` of a (2, C) slice — halves the gather count vs a naive
-    4-corner formulation;
-  * gathers run in the feature dtype (bf16 in production) and the
-    weighted reduction accumulates in fp32;
-  * fusion weights are broadcast into the gather-native
-    `[bs*cams, A*P, C]` layout and applied elementwise, then reduced —
-    no transposed dot_generals or layout copies on the 70k-row tensors.
+Performance model (measured on v5e): XLA's dynamic-gather costs ~9-35 ns
+PER ROW almost independent of row width, so the design minimises gather
+rows rather than bytes:
+
+  * **pair tables** — each table row holds two adjacent pixels, so one
+    fetch covers both x-corners of a bilinear sample: 2 rows per sample
+    instead of 4 (2KB quad rows measured slower — off the fast path);
+  * **valid-slot compaction** (DAF) — only the top-`gather_capacity`
+    in-range (anchor, point) slots per camera are gathered (the CUDA
+    kernel wastes reads on out-of-view samples; typically <35% of slots
+    are valid), and results scatter back through a one-hot MXU matmul;
+  * **level-fused takes** — all levels' rows go through a single
+    `jnp.take` (larger takes amortise per-row overhead);
+  * **full-width MSDA rows** — 512-byte rows gather ~2.6x faster per row
+    than per-head 64-byte rows; the per-head channel slice is applied
+    after sampling with a constant head mask.
 
 Gradients flow through `jax.grad` as scatter-adds, which on TPU are
 deterministic (unlike the reference's `atomicAdd` backward,
-deformable_aggregation_cuda.cu:190-262). A Pallas kernel can be
-substituted behind the same signatures (simpb_tpu/ops/pallas_daf.py).
+deformable_aggregation_cuda.cu:190-262).
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from .format import SpatialShapes
 
@@ -47,70 +54,95 @@ def bilinear_sample(
     loc: jnp.ndarray,
     drop_out_of_range: bool = True,
 ) -> jnp.ndarray:
-    """Bilinear sampling with CUDA-kernel border semantics.
+    """Reference-shape bilinear sampling (one level, 4-corner takes).
 
-    The four corner rows are fetched with a single flat `jnp.take` over
-    all corners — the only gather formulation that hits XLA:TPU's fast
-    dynamic-gather path (batched `take_along_axis` and strided
-    `lax.gather` slices measure 20-4000x slower on v5e).
+    Used as the correctness oracle and by small-scale callers; the fused
+    production paths below inline a pair-table variant of this math.
 
     Args:
-      feat: [B, H*W, C] flattened feature maps (row-major H, W).
-      h, w: static spatial dims.
-      loc: [B, N, 2] (x, y) locations normalised to (0, 1).
-      drop_out_of_range: zero the whole sample when loc outside (0, 1)
-        (DAF kernel behaviour). When False only out-of-border corners are
-        zeroed (grid_sample zero-padding, used by the MSDA path).
-
-    Returns:
-      [B, N, C] sampled features (feat dtype).
+      feat: [B, H*W, C]; loc: [B, N, 2] (x, y) in (0, 1).
+    Returns: [B, N, C].
     """
     b, hw, c = feat.shape
+    wx0, wx1, wy0, wy1, x0, y0, y1 = _corner_weights(
+        loc, h, w, feat.dtype, drop_out_of_range
+    )
+    base = (jnp.arange(b, dtype=jnp.int32) * hw)[:, None]
+    xc0 = jnp.clip(x0, 0, w - 1)
+    xc1 = jnp.clip(x0 + 1, 0, w - 1)
+    yc0 = base + jnp.clip(y0, 0, h - 1) * w
+    yc1 = base + jnp.clip(y1, 0, h - 1) * w
+    idx = jnp.stack([yc0 + xc0, yc0 + xc1, yc1 + xc0, yc1 + xc1])
+    vals = jnp.take(feat.reshape(b * hw, c), idx.reshape(-1), axis=0)
+    vals = vals.reshape((4, b) + loc.shape[1:-1] + (c,))
+    return (
+        wy0[..., None] * (wx0[..., None] * vals[0] + wx1[..., None] * vals[1])
+        + wy1[..., None] * (wx0[..., None] * vals[2] + wx1[..., None] * vals[3])
+    )
+
+
+def _corner_weights(loc, h, w, dtype, drop_out_of_range):
+    """Shared bilinear corner weights with border masking."""
     x = loc[..., 0] * w - 0.5
     y = loc[..., 1] * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    lx = (x - x0).astype(feat.dtype)
-    ly = (y - y0).astype(feat.dtype)
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    lx = (x - x0f).astype(dtype)
+    ly = (y - y0f).astype(dtype)
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
     x1 = x0 + 1
     y1 = y0 + 1
-
-    vx0 = (x0 >= 0) & (x0 < w)
-    vx1 = (x1 >= 0) & (x1 < w)
-    vy0 = (y0 >= 0) & (y0 < h)
-    vy1 = (y1 >= 0) & (y1 < h)
-
-    one = jnp.ones((), feat.dtype)
-    wx0 = (one - lx) * vx0.astype(feat.dtype)
-    wx1 = lx * vx1.astype(feat.dtype)
-    wy0 = (one - ly) * vy0.astype(feat.dtype)
-    wy1 = ly * vy1.astype(feat.dtype)
+    one = jnp.ones((), dtype)
+    wx0 = (one - lx) * ((x0 >= 0) & (x0 < w)).astype(dtype)
+    wx1 = lx * ((x1 >= 0) & (x1 < w)).astype(dtype)
+    wy0 = (one - ly) * ((y0 >= 0) & (y0 < h)).astype(dtype)
+    wy1 = ly * ((y1 >= 0) & (y1 < h)).astype(dtype)
     if drop_out_of_range:
         in_range = (
             (loc[..., 0] > 0.0)
             & (loc[..., 0] < 1.0)
             & (loc[..., 1] > 0.0)
             & (loc[..., 1] < 1.0)
-        ).astype(feat.dtype)
+        ).astype(dtype)
         wy0 = wy0 * in_range
         wy1 = wy1 * in_range
+    return wx0, wx1, wy0, wy1, x0, y0, y1
 
-    base = (jnp.arange(b, dtype=jnp.int32) * hw)[:, None]
-    xc0 = jnp.clip(x0, 0, w - 1)
-    xc1 = jnp.clip(x1, 0, w - 1)
-    yc0 = base + jnp.clip(y0, 0, h - 1) * w
-    yc1 = base + jnp.clip(y1, 0, h - 1) * w
-    # [4, B, N] flat row indices, one take for all corners
-    idx = jnp.stack([yc0 + xc0, yc0 + xc1, yc1 + xc0, yc1 + xc1])
-    vals = jnp.take(feat.reshape(b * hw, c), idx.reshape(-1), axis=0)
-    vals = vals.reshape((4, b) + loc.shape[1:-1] + (c,))
 
-    return (
-        wy0[..., None] * (wx0[..., None] * vals[0] + wx1[..., None] * vals[1])
-        + wy1[..., None] * (wx0[..., None] * vals[2] + wx1[..., None] * vals[3])
-    )
+def make_pair_table(col_flat: jnp.ndarray) -> jnp.ndarray:
+    """[R, C] -> [R, 2C] where row i holds (feat[i], feat[i+1]).
+
+    One fetch then covers both x-corners of a bilinear sample: 2 rows per
+    sample instead of 4. (A 4C "quad" table holding the whole 2x2
+    neighbourhood was measured SLOWER — 2KB rows fall off the gather fast
+    path — so pairs are the sweet spot.) Boundary spills read a
+    neighbouring row's first pixel; every such corner carries zero
+    bilinear weight, so the garbage never contributes.
+    """
+    nxt = jnp.roll(col_flat, -1, axis=0)
+    return jnp.concatenate([col_flat, nxt], axis=-1)
+
+
+def _pair_bilinear(
+    pair_vals: jnp.ndarray,  # [2, ..., 2C] fetched (y0, y1) pair rows
+    aligned: jnp.ndarray,  # [...] bool: x0 == pair start
+    wx0, wx1, wy0, wy1,
+):
+    """Combine pair-table fetches into the bilinear sample.
+
+    Normally the pair covers (x0, x1); at the left border (x0 = -1) it
+    covers (x1, x1+1), so the halves swap. Out-of-range corners carry
+    zero weight, making the swapped garbage harmless.
+    """
+    c = pair_vals.shape[-1] // 2
+    first = pair_vals[..., :c]
+    second = pair_vals[..., c:]
+    al = aligned[..., None]
+    fx0 = jnp.where(al, first, second)
+    fx1 = jnp.where(al, second, first)
+    vx = wx0[..., None] * fx0 + wx1[..., None] * fx1
+    return wy0[..., None] * vx[0] + wy1[..., None] * vx[1]
 
 
 def deformable_aggregation(
@@ -118,57 +150,105 @@ def deformable_aggregation(
     spatial_shapes: SpatialShapes,
     points_2d: jnp.ndarray,
     weights: jnp.ndarray,
+    gather_capacity: Optional[int] = None,
 ) -> jnp.ndarray:
     """Fused multi-camera multi-scale deformable aggregation.
 
-    For each (batch, anchor, point, camera, level, group): bilinearly
-    sample the feature column at the projected location and accumulate
-    `weight * sample` into the per-anchor output — the exact contraction
-    of the reference CUDA kernel (deformable_aggregation_cuda.cu:129-187)
-    with its shape contract documented at deformable_aggregation.cpp:22-27.
-
     Args:
-      col_feats: [bs, cams, ΣHW, C] packed features (sampled in-place
-        dtype; bf16 recommended).
+      col_feats: [bs, cams, ΣHW, C] packed features (bf16 recommended).
       spatial_shapes: static per-level (H, W).
       points_2d: [bs, A, P, cams, 2] normalised sampling locations.
       weights: [bs, A, P, cams, L, G] per-group fusion weights.
+      gather_capacity: per-camera cap M on gathered (anchor, point)
+        slots; in-range slots are kept in anchor order, overflow beyond M
+        is dropped (None disables compaction). 4096 covers typical frames
+        with 3x headroom at 900 anchors x 13 points.
 
-    Returns:
-      [bs, A, C] aggregated anchor features in fp32.
+    Returns: [bs, A, C] aggregated anchor features in fp32.
     """
-    bs, cams, _, c = col_feats.shape
+    bs, cams, total_hw, c = col_feats.shape
     _, num_anchor, num_pts = points_2d.shape[:3]
     num_levels = spatial_shapes.num_levels
     num_groups = weights.shape[-1]
     group_dims = c // num_groups
+    b = bs * cams
+    s = num_anchor * num_pts
 
-    # [bs*cams, A*P, 2] — gather-native layout shared by all levels
-    loc = points_2d.transpose(0, 3, 1, 2, 4).reshape(
-        bs * cams, num_anchor * num_pts, 2
+    loc = points_2d.transpose(0, 3, 1, 2, 4).reshape(b, s, 2)
+    # [bs, cams, A*P, L, G]
+    w_all = weights.transpose(0, 3, 1, 2, 4, 5).reshape(
+        b, s, num_levels, num_groups
     )
-    # one small transpose to [bs, cams, A, P, L, G]; groups broadcast over
-    # channels per level below
-    w_all = weights.transpose(0, 3, 1, 2, 4, 5)
 
-    out = jnp.zeros((bs, num_anchor, c), dtype=jnp.float32)
+    in_range = (
+        (loc[..., 0] > 0.0)
+        & (loc[..., 0] < 1.0)
+        & (loc[..., 1] > 0.0)
+        & (loc[..., 1] < 1.0)
+    )  # [b, s]
+
+    if gather_capacity is not None and gather_capacity < s:
+        m = gather_capacity
+        score = in_range.astype(jnp.float32) * (2.0 * s) - jnp.arange(
+            s, dtype=jnp.float32
+        )
+        _, sel = jax.lax.top_k(score, m)  # [b, m] slot indices
+        sel = sel.astype(jnp.int32)
+        take2 = lambda x: jnp.take_along_axis(
+            x, sel.reshape(sel.shape + (1,) * (x.ndim - 2)), axis=1
+        )
+        loc = take2(loc)
+        w_all = take2(w_all)
+        sel_valid = jnp.take_along_axis(in_range, sel, axis=1)
+        anchor_idx = sel // num_pts  # [b, m]
+    else:
+        m = s
+        sel_valid = in_range
+        anchor_idx = jnp.broadcast_to(
+            (jnp.arange(s, dtype=jnp.int32) // num_pts)[None], (b, s)
+        )
+
+    pair = make_pair_table(col_feats.reshape(b * total_hw, c))
+
+    # fused index build over all levels: [L, 2(y-rows), b, m]
+    idx_list = []
+    weight_sets = []
+    batch_base = (jnp.arange(b, dtype=jnp.int32) * total_hw)[:, None]
     for lvl in range(num_levels):
-        h, w_ = spatial_shapes.shapes[lvl]
+        h_, w_ = spatial_shapes.shapes[lvl]
         start = spatial_shapes.start_indices[lvl]
-        feat_l = col_feats[:, :, start : start + h * w_].reshape(
-            bs * cams, h * w_, c
+        wx0, wx1, wy0, wy1, x0, y0, y1 = _corner_weights(
+            loc, h_, w_, col_feats.dtype, True
         )
-        sampled = bilinear_sample(feat_l, h, w_, loc, drop_out_of_range=True)
-        w_l = w_all[..., lvl, :].astype(sampled.dtype)  # [bs,cams,A,P,G]
+        sx = jnp.clip(x0, 0, w_ - 1)
+        row0 = batch_base + start + jnp.clip(y0, 0, h_ - 1) * w_ + sx
+        row1 = batch_base + start + jnp.clip(y1, 0, h_ - 1) * w_ + sx
+        idx_list.append(jnp.stack([row0, row1]))
+        weight_sets.append((x0 == sx, wx0, wx1, wy0, wy1))
+
+    idx = jnp.stack(idx_list)  # [L, 2, b, m]
+    vals = jnp.take(pair, idx.reshape(-1), axis=0)
+    vals = vals.reshape(num_levels, 2, b, m, 2 * c)
+
+    out_c = jnp.zeros((b, m, c), jnp.float32)
+    for lvl in range(num_levels):
+        ax, wx0, wx1, wy0, wy1 = weight_sets[lvl]
+        sampled = _pair_bilinear(vals[lvl], ax, wx0, wx1, wy0, wy1)
+        w_l = w_all[:, :, lvl].astype(sampled.dtype)  # [b, m, G]
         w_exp = jnp.broadcast_to(
-            w_l[..., None],
-            (bs, cams, num_anchor, num_pts, num_groups, group_dims),
-        ).reshape(bs * cams, num_anchor * num_pts, c)
-        weighted = (sampled * w_exp).reshape(
-            bs, cams, num_anchor, num_pts, c
-        )
-        out = out + weighted.sum(axis=(1, 3), dtype=jnp.float32)
-    return out
+            w_l[..., None], (b, m, num_groups, group_dims)
+        ).reshape(b, m, c)
+        out_c = out_c + (sampled * w_exp).astype(jnp.float32)
+
+    # scatter-add compacted slots back to anchors on the MXU
+    onehot = jax.nn.one_hot(
+        anchor_idx, num_anchor, dtype=jnp.float32
+    ) * sel_valid[..., None].astype(jnp.float32)
+    out = jnp.einsum(
+        "bma,bmc->bac", onehot, out_c,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(bs, cams, num_anchor, c).sum(axis=1)
 
 
 def msda(
@@ -176,46 +256,67 @@ def msda(
     spatial_shapes: SpatialShapes,
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
+    num_heads: Optional[int] = None,
 ) -> jnp.ndarray:
     """Multi-scale deformable attention sampling (one camera's values).
 
-    Equivalent of mmcv's `MultiScaleDeformableAttnFunction` used for the
-    2D query-group cross-attention (reference models/group_attn.py:222-235):
-    per head, sample `num_levels × num_points` bilinear values with
-    zero-padding borders (grid_sample semantics) and sum them with softmax
-    weights.
-
     Args:
-      value: [B, ΣHW, heads, head_dim].
-      spatial_shapes: static per-level (H, W).
+      value: [B, ΣHW, C] full-width projected values (the per-head split
+        happens after sampling — 512-byte rows gather far faster than
+        64-byte per-head rows).
       sampling_locations: [B, Q, heads, L, P, 2] normalised to (0, 1).
-      attention_weights: [B, Q, heads, L, P].
+      attention_weights: [B, Q, heads, L, P] softmax weights.
 
-    Returns:
-      [B, Q, heads * head_dim] in fp32.
+    Returns: [B, Q, C] in fp32.
     """
-    b, _, num_heads, head_dim = value.shape
+    b, total_hw, c = value.shape
     q = sampling_locations.shape[1]
+    heads = sampling_locations.shape[2]
     num_levels, num_points = sampling_locations.shape[3:5]
+    head_dim = c // heads
 
-    # single layout change: heads fold into the gather batch
-    value_h = value.transpose(0, 2, 1, 3).reshape(
-        b * num_heads, -1, head_dim
-    )
+    n = q * heads * num_points
+    loc = sampling_locations.transpose(0, 1, 2, 4, 3, 5)  # [B,Q,H,P,L,2]
+    loc = loc.reshape(b, n, num_levels, 2)
 
-    out = jnp.zeros((b, q, num_heads, head_dim), dtype=jnp.float32)
+    pair = make_pair_table(value.reshape(b * total_hw, c))
+    batch_base = (jnp.arange(b, dtype=jnp.int32) * total_hw)[:, None]
+
+    idx_list, weight_sets = [], []
     for lvl in range(num_levels):
-        h, w_ = spatial_shapes.shapes[lvl]
+        h_, w_ = spatial_shapes.shapes[lvl]
         start = spatial_shapes.start_indices[lvl]
-        feat_l = value_h[:, start : start + h * w_]
-        # [B*heads, Q*P, 2]
-        loc = sampling_locations[:, :, :, lvl].transpose(0, 2, 1, 3, 4)
-        loc = loc.reshape(b * num_heads, q * num_points, 2)
-        sampled = bilinear_sample(feat_l, h, w_, loc, drop_out_of_range=False)
-        sampled = sampled.reshape(b, num_heads, q, num_points, head_dim)
-        w_l = attention_weights[:, :, :, lvl]  # [B, Q, heads, P]
+        wx0, wx1, wy0, wy1, x0, y0, y1 = _corner_weights(
+            loc[:, :, lvl], h_, w_, value.dtype, False
+        )
+        sx = jnp.clip(x0, 0, w_ - 1)
+        row0 = batch_base + start + jnp.clip(y0, 0, h_ - 1) * w_ + sx
+        row1 = batch_base + start + jnp.clip(y1, 0, h_ - 1) * w_ + sx
+        idx_list.append(jnp.stack([row0, row1]))
+        weight_sets.append((x0 == sx, wx0, wx1, wy0, wy1))
+
+    idx = jnp.stack(idx_list)  # [L, 2, b, n]
+    vals = jnp.take(pair, idx.reshape(-1), axis=0)
+    vals = vals.reshape(num_levels, 2, b, n, 2 * c)
+
+    # constant per-head channel mask: head h owns channels [h*hd,(h+1)*hd)
+    head_mask = jnp.repeat(
+        jnp.eye(heads, dtype=jnp.float32), head_dim, axis=1
+    )  # [heads, C]
+
+    out = jnp.zeros((b, q, c), jnp.float32)
+    for lvl in range(num_levels):
+        ax, wx0, wx1, wy0, wy1 = weight_sets[lvl]
+        sampled = _pair_bilinear(vals[lvl], ax, wx0, wx1, wy0, wy1)
+        sampled = sampled.reshape(b, q, heads, num_points, c)
+        w_l = attention_weights[:, :, :, lvl].transpose(0, 1, 2, 3)
+        # weight then head-mask: out[c] += sum_h,p w[h,p]*sampled[h,p,c]*mask[h,c]
+        weighted = jnp.einsum(
+            "bqhpc,bqhp->bqhc", sampled.astype(jnp.float32),
+            w_l.astype(jnp.float32),
+        )
         out = out + jnp.einsum(
-            "bhqpd,bqhp->bqhd", sampled, w_l.astype(sampled.dtype),
+            "bqhc,hc->bqc", weighted, head_mask,
             preferred_element_type=jnp.float32,
         )
-    return out.reshape(b, q, num_heads * head_dim)
+    return out

@@ -139,22 +139,78 @@ def test_msda_matches_manual():
     shapes = ((6, 10), (3, 5))
     ss = SpatialShapes(shapes)
     total = ss.total
-    value = rng.normal(size=(B, total, heads, hd)).astype(np.float32)
-    loc = rng.uniform(0.1, 0.9, size=(B, Q, heads, 2, P, 2)).astype(np.float32)
+    value = rng.normal(size=(B, total, heads * hd)).astype(np.float32)
+    # include out-of-range locations to exercise zero-padding borders
+    loc = rng.uniform(-0.1, 1.1, size=(B, Q, heads, 2, P, 2)).astype(
+        np.float32
+    )
     attw = rng.uniform(size=(B, Q, heads, 2, P)).astype(np.float32)
 
     out = np.asarray(
         msda(jnp.asarray(value), ss, jnp.asarray(loc), jnp.asarray(attw))
     )
 
+    value_h = value.reshape(B, total, heads, hd)
     expected = np.zeros((B, Q, heads, hd), np.float32)
     for lvl, (h, w) in enumerate(shapes):
         st = ss.start_indices[lvl]
         for hh in range(heads):
-            fm = value[:, st : st + h * w, hh]  # [B, HW, hd]
+            fm = value_h[:, st : st + h * w, hh]  # [B, HW, hd]
             l = loc[:, :, hh, lvl].reshape(B, Q * P, 2)
             s = torch_grid_sample(fm, h, w, l).reshape(B, Q, P, hd)
             expected[:, :, hh] += np.einsum("bqpd,bqp->bqd", s, attw[:, :, hh, lvl])
     np.testing.assert_allclose(
         out, expected.reshape(B, Q, heads * hd), atol=1e-4
     )
+
+
+def test_daf_compaction_matches_full():
+    """Compacted gather (capacity < A*P) equals the full path when the
+    capacity covers every in-range slot."""
+    rng = np.random.default_rng(7)
+    bs, cams, c, A, P, G = 1, 2, 16, 6, 4, 4
+    shapes = ((8, 12), (4, 6))
+    (col, ss), _ = make_packed(rng, bs, cams, c, shapes)
+    pts = rng.uniform(-0.3, 1.3, size=(bs, A, P, cams, 2)).astype(np.float32)
+    wts = rng.uniform(size=(bs, A, P, cams, len(shapes), G)).astype(np.float32)
+    full = np.asarray(
+        deformable_aggregation(col, ss, jnp.asarray(pts), jnp.asarray(wts))
+    )
+    compact = np.asarray(
+        deformable_aggregation(
+            col, ss, jnp.asarray(pts), jnp.asarray(wts),
+            gather_capacity=A * P - 1,  # < S triggers compaction
+        )
+    )
+    np.testing.assert_allclose(full, compact, atol=1e-4)
+
+
+def test_daf_border_and_oob_semantics():
+    """Fast path preserves exact drop/border semantics vs dense oracle."""
+    rng = np.random.default_rng(8)
+    bs, cams, c, A, P, G = 2, 2, 8, 4, 3, 2
+    shapes = ((8, 12), (4, 6))
+    (col, ss), fmaps = make_packed(rng, bs, cams, c, shapes)
+    pts = rng.uniform(-0.2, 1.2, size=(bs, A, P, cams, 2)).astype(np.float32)
+    wts = rng.uniform(size=(bs, A, P, cams, 2, G)).astype(np.float32)
+    out = np.asarray(
+        deformable_aggregation(col, ss, jnp.asarray(pts), jnp.asarray(wts))
+    )
+    gd = c // G
+    expected = np.zeros((bs, A, c), np.float32)
+    inr = (
+        (pts[..., 0] > 0) & (pts[..., 0] < 1)
+        & (pts[..., 1] > 0) & (pts[..., 1] < 1)
+    )
+    for lvl, (h, w) in enumerate(shapes):
+        fm = np.asarray(fmaps[lvl]).reshape(bs * cams, h * w, c)
+        loc = pts.transpose(0, 3, 1, 2, 4).reshape(bs * cams, A * P, 2)
+        s = torch_grid_sample(fm, h, w, loc).reshape(bs, cams, A, P, c)
+        s = s * inr.transpose(0, 3, 1, 2)[..., None]
+        for g in range(G):
+            expected[..., g * gd : (g + 1) * gd] += np.einsum(
+                "bnapd,bapn->bad",
+                s[..., g * gd : (g + 1) * gd],
+                wts[..., lvl, g],
+            )
+    np.testing.assert_allclose(out, expected, atol=1e-4)

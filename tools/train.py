@@ -40,8 +40,15 @@ def parse_args():
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--load-from", default=None,
                    help="torch .pth or orbax checkpoint to initialise from")
+    p.add_argument("--resume-from", default=None,
+                   help="orbax checkpoint dir to resume params+step from")
     p.add_argument("--anchors", default=None,
                    help="k-means anchor .npy (reference nuscenes_kmeans900.npy)")
+    p.add_argument("--eval-ann-file", default=None,
+                   help="val pkl: run mid-training eval (CustomDistEvalHook"
+                        " equivalent)")
+    p.add_argument("--eval-interval", type=int, default=20000)
+    p.add_argument("--eval-frames", type=int, default=500)
     return p.parse_args()
 
 
@@ -135,6 +142,20 @@ def main():
         )
 
     state = create_train_state(model, variables, tc)
+    start_iter = 0
+    if args.resume_from:
+        import orbax.checkpoint as ocp
+
+        loaded = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(args.resume_from)
+        )
+        state = state.replace(
+            params=loaded["params"],
+            batch_stats=loaded["batch_stats"],
+            step=jnp.asarray(loaded["step"], jnp.int32),
+        )
+        start_iter = int(loaded["step"])
+        print(f"resumed from {args.resume_from} at iter {start_iter}")
     temporal, dn_state = init_temporal(cfg, bs_global)
 
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -153,11 +174,41 @@ def main():
 
     ckptr = ocp.PyTreeCheckpointer()
 
+    def run_eval(step_no):
+        """Mid-training eval (reference CustomDistEvalHook,
+        core/evaluation/eval_hooks.py:30-97)."""
+        import subprocess
+
+        ckpt = os.path.abspath(
+            os.path.join(args.work_dir, f"ckpt_eval_{step_no}")
+        )
+        ckptr.save(
+            ckpt,
+            {
+                "params": jax.tree.map(np.asarray, state.params),
+                "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+                "step": int(state.step),
+            },
+            force=True,
+        )
+        subprocess.run(
+            [
+                sys.executable,
+                os.path.join(os.path.dirname(__file__), "test.py"),
+                "--ann-file", args.eval_ann_file,
+                "--data-root", args.data_root,
+                "--config", args.config,
+                "--checkpoint", ckpt,
+                "--max-frames", str(args.eval_frames),
+            ],
+            check=False,
+        )
+
     key = jax.random.PRNGKey(args.seed)
     it = iter(sampler)
     t0 = time.time()
     max_iters = args.max_iters or tc.max_iters
-    for i in range(max_iters):
+    for i in range(start_iter, max_iters):
         batch_items = next(it)
         samples = [
             pad_sample(dataset.get_sample(idx, aug=aug, rng=rng))
@@ -202,6 +253,8 @@ def main():
                 force=True,
             )
             print(f"saved {path}", flush=True)
+        if args.eval_ann_file and (i + 1) % args.eval_interval == 0:
+            run_eval(i + 1)
 
 
 if __name__ == "__main__":
