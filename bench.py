@@ -31,7 +31,9 @@ WINDOW = 32
 def main():
     import dataclasses
 
-    cfg = dataclasses.replace(simpb_r50_704x256(), compute_dtype="bfloat16")
+    cfg = dataclasses.replace(
+        simpb_r50_704x256(), compute_dtype="bfloat16", head_dtype="bfloat16"
+    )
     model = SimPB(cfg)
     bs, cams = 1, cfg.head.num_cams
     w, h = cfg.input_size

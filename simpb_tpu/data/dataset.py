@@ -54,6 +54,7 @@ class NuScenesDataset:
         strides=(4, 8, 16),
         load_interval: int = 1,
         use_valid_flag: bool = True,
+        use_native: bool = True,
     ):
         self.data_root = data_root
         self.test_mode = test_mode
@@ -61,6 +62,7 @@ class NuScenesDataset:
         self.with_info2d = with_info2d
         self.strides = strides
         self.use_valid_flag = use_valid_flag
+        self.use_native = use_native
         with open(ann_file, "rb") as f:
             data = pickle.load(f)
         self.data_infos = sorted(data["infos"], key=lambda e: e["timestamp"])
@@ -197,9 +199,37 @@ class NuScenesDataset:
         if not self.test_mode:
             self._add_annotations(sample, info, geo)
 
-        # image aug + intrinsic updates
+        # image aug + intrinsic updates (native C++ fused path when the
+        # photometric jitter / rotation are off; PIL path otherwise)
+        use_native_path = (
+            self.use_native
+            and self.test_mode
+            and not aug.get("rotate")
+        )
+        if use_native_path:
+            from . import native_preprocess as npz
+
+            use_native_path = npz.available()
         new_imgs = []
         for i, img in enumerate(imgs):
+            if use_native_path:
+                from . import native_preprocess as npz
+
+                out = npz.preprocess_image(
+                    np.clip(img, 0, 255).astype(np.uint8), aug
+                )
+                # intrinsic update matrix (same math as img_transform)
+                m = np.eye(3)
+                m[:2, :2] *= aug.get("resize", 1.0)
+                m[:2, 2] -= np.array(aug["crop"][:2])
+                if aug.get("flip"):
+                    fw_ = aug["crop"][2] - aug["crop"][0]
+                    m = np.array([[-1, 0, fw_], [0, 1, 0], [0, 0, 1]]) @ m
+                ext = np.eye(4)
+                ext[:3, :3] = m
+                sample["intrinsics"][i] = ext @ sample["intrinsics"][i]
+                new_imgs.append(out)
+                continue
             img, mat = T.img_transform(img, aug)
             sample["intrinsics"][i] = mat @ sample["intrinsics"][i]
             new_imgs.append(img)
@@ -227,7 +257,8 @@ class NuScenesDataset:
 
         if not self.test_mode and rng is not None:
             new_imgs = T.photometric_distortion(rng, new_imgs)
-        new_imgs = T.normalize_images(new_imgs)
+        if not use_native_path:  # native path normalises in its fused pass
+            new_imgs = T.normalize_images(new_imgs)
 
         # range + class filters (reference CircleObjectRangeFilter)
         if not self.test_mode and "gt_bboxes_3d" in sample:
