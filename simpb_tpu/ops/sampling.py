@@ -121,7 +121,11 @@ def make_pair_table(col_flat: jnp.ndarray) -> jnp.ndarray:
     bilinear weight, so the garbage never contributes.
     """
     nxt = jnp.roll(col_flat, -1, axis=0)
-    return jnp.concatenate([col_flat, nxt], axis=-1)
+    pair = jnp.concatenate([col_flat, nxt], axis=-1)
+    # force materialisation: without the barrier XLA can sink the concat
+    # through the downstream gather, splitting it back into twice as many
+    # half-width row fetches (measured ~16% slower on the MSDA path)
+    return jax.lax.optimization_barrier(pair)
 
 
 def _pair_bilinear(

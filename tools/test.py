@@ -35,6 +35,10 @@ def parse_args():
     p.add_argument("--out", default=None, help="submission json path")
     p.add_argument("--max-frames", type=int, default=None)
     p.add_argument("--tracking", action="store_true")
+    p.add_argument("--show-dir", default=None,
+                   help="render detections on images + BEV (reference"
+                        " --show_only) and write a video here")
+    p.add_argument("--show-threshold", type=float, default=0.3)
     return p.parse_args()
 
 
@@ -133,6 +137,7 @@ def main():
         shard = shard[: args.max_frames]
 
     preds, gts, tokens = [], [], []
+    vis_frames = []
     state = None
     prev_ts = None
     prev_t_global = None
@@ -173,8 +178,35 @@ def main():
         else:
             g10 = np.zeros((0, 10), np.float32)
         gts.append({"boxes": g10, "labels": gt["gt_labels_3d"]})
+
+        if args.show_dir:
+            from simpb_tpu.data.transforms import IMG_MEAN, IMG_STD
+            from simpb_tpu.data.visualize import render_frame, write_video
+
+            raw = sample["img"] * IMG_STD + IMG_MEAN
+            frame = render_frame(
+                list(raw),
+                {
+                    "boxes_3d": dec["boxes_3d"],
+                    "scores_3d": dec["scores_3d"],
+                    "labels_3d": dec["labels_3d"],
+                },
+                list(sample["projection_mat"]),
+                score_threshold=args.show_threshold,
+            )
+            vis_frames.append(frame[..., ::-1])  # RGB -> BGR for cv2
+
         if (n + 1) % 100 == 0:
             print(f"{n + 1}/{len(shard)} frames", flush=True)
+
+    if args.show_dir and vis_frames:
+        from simpb_tpu.data.visualize import write_video
+
+        os.makedirs(args.show_dir, exist_ok=True)
+        write_video(
+            vis_frames, os.path.join(args.show_dir, "detections.mp4")
+        )
+        print(f"wrote {len(vis_frames)}-frame video to {args.show_dir}")
 
     metrics = evaluate_detections(preds, gts)
     print(json.dumps({k: round(v, 4) for k, v in metrics.items()}, indent=1))
