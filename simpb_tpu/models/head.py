@@ -124,7 +124,11 @@ class SimPBHead(nn.Module):
                     )
                 )
             elif op == "norm":
-                layers.append(nn.LayerNorm(dtype=self.dtype, name=f"op{i}_norm"))
+                layers.append(
+                    nn.LayerNorm(
+                        epsilon=1e-5, dtype=self.dtype, name=f"op{i}_norm"
+                    )
+                )
             elif op in ("gnn", "temp_gnn"):
                 layers.append(
                     ResidualAttention(

@@ -34,7 +34,9 @@ class MLPStack(nn.Module):
                 x = nn.Dense(self.embed_dims, dtype=self.dtype, name=f"fc{idx}")(x)
                 x = nn.relu(x)
                 idx += 1
-            x = nn.LayerNorm(dtype=self.dtype, name=f"ln{idx - 1}")(x)
+            x = nn.LayerNorm(
+                epsilon=1e-5, dtype=self.dtype, name=f"ln{idx - 1}"
+            )(x)  # torch LayerNorm eps
         return x
 
 
@@ -194,7 +196,7 @@ class AsymmetricFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.LayerNorm(dtype=self.dtype, name="pre_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_norm")(x)
         out = nn.Dense(
             self.feedforward_channels, dtype=self.dtype, name="fc1"
         )(x)
