@@ -135,6 +135,7 @@ class SimPBHead(nn.Module):
                         embed_dims=attn_dims,
                         num_heads=c.num_groups,
                         attn_drop=c.drop_out,
+                        out_drop=c.drop_out,
                         dtype=self.dtype,
                         name=f"op{i}_{op}",
                     )
@@ -203,6 +204,7 @@ class SimPBHead(nn.Module):
                         embed_dims=attn_dims,
                         num_heads=c.num_groups,
                         attn_drop=c.drop_out,
+                        out_drop=c.drop_out,
                         dtype=self.dtype,
                         name=f"op{i}_aggregation_attn",
                     )

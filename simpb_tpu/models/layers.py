@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -108,25 +109,39 @@ class MultiheadAttention(nn.Module):
         k = k.reshape(bs, S, h, hd).transpose(0, 2, 1, 3)
         v = v.reshape(bs, S, h, hd).transpose(0, 2, 1, 3)
 
-        logits = jnp.einsum("bhld,bhsd->bhls", q, k) / jnp.sqrt(
-            jnp.asarray(hd, q.dtype)
-        )
+        bias = None
         if attn_mask is not None:
             if attn_mask.dtype == jnp.bool_:
-                bias = jnp.where(attn_mask, -jnp.inf, 0.0).astype(logits.dtype)
+                bias = jnp.where(attn_mask, -jnp.inf, 0.0).astype(q.dtype)
             else:
-                bias = attn_mask.astype(logits.dtype)
+                bias = attn_mask.astype(q.dtype)
             if bias.ndim == 2:
                 bias = bias[None, None]
             elif bias.ndim == 3:
                 bias = bias[:, None]
-            logits = logits + bias
-        probs = masked_softmax(logits, axis=-1)
-        if self.attn_drop > 0.0:
-            probs = nn.Dropout(rate=self.attn_drop)(
-                probs, deterministic=deterministic
+
+        drop = self.attn_drop if not deterministic else 0.0
+        rng = self.make_rng("dropout") if drop > 0.0 else None
+
+        # the attention core is rematerialised in the backward pass so the
+        # [bs, h, L, S] logits/probs are never stored (the decoder's
+        # dominant training-memory term; without this bs=4 training OOMs
+        # on a 16G v5e chip)
+        def core(q, k, v, bias, rng):
+            logits = jnp.einsum("bhld,bhsd->bhls", q, k) / jnp.sqrt(
+                jnp.asarray(hd, q.dtype)
             )
-        out = jnp.einsum("bhls,bhsd->bhld", probs, v)
+            if bias is not None:
+                logits = logits + bias
+            probs = masked_softmax(logits, axis=-1)
+            if rng is not None:
+                keep = jax.random.bernoulli(
+                    rng, 1.0 - drop, probs.shape
+                )
+                probs = jnp.where(keep, probs / (1.0 - drop), 0.0)
+            return jnp.einsum("bhls,bhsd->bhld", probs, v)
+
+        out = jax.checkpoint(core)(q, k, v, bias, rng)
         out = out.transpose(0, 2, 1, 3).reshape(bs, L, e)
         return nn.Dense(e, dtype=self.dtype, name="out_proj")(out)
 
@@ -134,13 +149,18 @@ class MultiheadAttention(nn.Module):
 class ResidualAttention(nn.Module):
     """MHA + residual + dropout, matching mmcv MultiheadAttention wrapper
     and QueryGroupMultiheadAttention (group_attn.py:60-133):
-    `identity + dropout(proj_drop(attn(q+pos, k+pos, v)))`.
+    `identity + dropout_layer(proj_drop(attn(q+pos, k+pos, v)))`.
+
+    The released configs pass `dropout=0.1` to the mmcv wrapper, which
+    sets BOTH the attention-prob dropout and the output dropout_layer —
+    `out_drop` mirrors the latter.
     """
 
     embed_dims: int
     num_heads: int
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    out_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -176,6 +196,10 @@ class ResidualAttention(nn.Module):
         )(q, k, value, attn_mask=attn_mask, deterministic=deterministic)
         if self.proj_drop > 0.0:
             out = nn.Dropout(rate=self.proj_drop)(
+                out, deterministic=deterministic
+            )
+        if self.out_drop > 0.0:
+            out = nn.Dropout(rate=self.out_drop)(
                 out, deterministic=deterministic
             )
         return identity + out

@@ -209,10 +209,15 @@ def dn_loss(
         ):
             valid = tgt["valid"]
             num_pos = jnp.maximum(valid.sum().astype(jnp.float32), 1.0)
+            # reference calls loss_cls2d without avg_factor here
+            # (simpb_head.py:1004) => mmdet mean reduction over the
+            # boolean-selected [N_valid, C] elements
+            num_cls = cls_p.shape[-1]
             cls_loss = L.sigmoid_focal_loss(
-                cls_p.reshape(-1, cls_p.shape[-1]),
+                cls_p.reshape(-1, num_cls),
                 jnp.where(valid, tgt["cls"], -1).reshape(-1),
                 weight=valid.reshape(-1).astype(jnp.float32),
+                avg_factor=num_pos * num_cls,
                 loss_weight=tc.cls_weight2d,
             )
             pos = valid & (tgt["cls"] >= 0)
