@@ -218,9 +218,10 @@ def deformable_aggregation(
     @jax.checkpoint
     def sample_core(col_flat, loc, w_sel):
         pair = make_pair_table(col_flat)
-        idx_list = []
-        weight_sets = []
         batch_base = (jnp.arange(b, dtype=jnp.int32) * total_hw)[:, None]
+        # per-level takes measured slightly faster than one fused take
+        # (each level's bilinear combine pipelines with the next gather)
+        out_c = jnp.zeros((b, m, c), jnp.float32)
         for lvl in range(num_levels):
             h_, w_ = spatial_shapes.shapes[lvl]
             start = spatial_shapes.start_indices[lvl]
@@ -230,17 +231,11 @@ def deformable_aggregation(
             sx = jnp.clip(x0, 0, w_ - 1)
             row0 = batch_base + start + jnp.clip(y0, 0, h_ - 1) * w_ + sx
             row1 = batch_base + start + jnp.clip(y1, 0, h_ - 1) * w_ + sx
-            idx_list.append(jnp.stack([row0, row1]))
-            weight_sets.append((x0 == sx, wx0, wx1, wy0, wy1))
-
-        idx = jnp.stack(idx_list)  # [L, 2, b, m]
-        vals = jnp.take(pair, idx.reshape(-1), axis=0)
-        vals = vals.reshape(num_levels, 2, b, m, 2 * c)
-
-        out_c = jnp.zeros((b, m, c), jnp.float32)
-        for lvl in range(num_levels):
-            ax, wx0, wx1, wy0, wy1 = weight_sets[lvl]
-            sampled = _pair_bilinear(vals[lvl], ax, wx0, wx1, wy0, wy1)
+            idx = jnp.stack([row0, row1])
+            vals = jnp.take(pair, idx.reshape(-1), axis=0).reshape(
+                2, b, m, 2 * c
+            )
+            sampled = _pair_bilinear(vals, x0 == sx, wx0, wx1, wy0, wy1)
             w_l = w_sel[:, :, lvl].astype(sampled.dtype)  # [b, m, G]
             w_exp = jnp.broadcast_to(
                 w_l[..., None], (b, m, num_groups, group_dims)

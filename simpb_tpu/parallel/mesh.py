@@ -1,0 +1,83 @@
+"""Device mesh and sharding helpers.
+
+The reference's distributed layer is torch DDP over NCCL with
+launcher-specific process wiring (apis/mmdet_train.py:93-102,
+tools/train.py:181-219). The TPU-native equivalent is a `jax.sharding`
+mesh: data parallel over ICI within a host, extended over DCN hosts via
+`jax.distributed.initialize` (SURVEY.md §2.5). Gradient reduction,
+loss-normaliser sums, and eval gathers are XLA collectives inserted by
+pjit from these shardings — there is no NCCL-style hand-written
+communication anywhere in the framework.
+
+An optional second `cam` axis shards the camera dimension of
+images/features for high-res configs (the SURVEY §5 scaling plan);
+`__graft_entry__.dryrun_multichip` validates it.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_cam_shards: int = 1, devices=None
+) -> Mesh:
+    """1-D `data` mesh, or 2-D (data, cam) when num_cam_shards > 1."""
+    devices = np.array(devices if devices is not None else jax.devices())
+    if num_cam_shards == 1:
+        return Mesh(devices, ("data",))
+    assert len(devices) % num_cam_shards == 0
+    return Mesh(
+        devices.reshape(-1, num_cam_shards), ("data", "cam")
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch axis (and the camera axis on 2-D meshes)."""
+    if "cam" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", "cam"))
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Put a host batch dict onto the mesh with batch-axis sharding.
+
+    `gt_depth` lists are sharded per level; everything else shards on
+    axis 0 (+ camera axis for image-like arrays on 2-D meshes).
+    """
+    data_sh = batch_sharding(mesh)
+    data_only = NamedSharding(mesh, P("data"))
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, list):
+            out[k] = [jax.device_put(x, data_only) for x in v]
+        elif hasattr(v, "ndim") and v.ndim >= 2 and "cam" in mesh.axis_names:
+            out[k] = jax.device_put(v, data_sh)
+        else:
+            out[k] = jax.device_put(v, data_only)
+    return out
+
+
+def initialize_multihost(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host (DCN) initialisation — the reference's launcher matrix
+    (pytorch/slurm/mpi/mpi_nccl, tools/train.py:181-219) collapses to one
+    call here; TPU pod runtimes usually autodetect all arguments."""
+    if coordinator is None:
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )

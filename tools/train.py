@@ -158,11 +158,16 @@ def main():
         print(f"resumed from {args.resume_from} at iter {start_iter}")
     temporal, dn_state = init_temporal(cfg, bs_global)
 
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from simpb_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicated,
+        shard_batch,
+    )
 
-    mesh = Mesh(np.array(jax.devices()), ("data",))
-    data_sh = NamedSharding(mesh, P("data"))
-    repl = NamedSharding(mesh, P())
+    mesh = make_mesh()
+    data_sh = batch_sharding(mesh)
+    repl = replicated(mesh)
     state = jax.device_put(state, repl)
     temporal = jax.device_put(temporal, data_sh)
     dn_state = jax.device_put(dn_state, data_sh)
@@ -204,27 +209,47 @@ def main():
             check=False,
         )
 
-    key = jax.random.PRNGKey(args.seed)
-    it = iter(sampler)
-    t0 = time.time()
-    max_iters = args.max_iters or tc.max_iters
-    for i in range(start_iter, max_iters):
-        batch_items = next(it)
+    # host pipeline: a prefetch thread assembles the next batch while the
+    # device executes the current step (the reference forks torch
+    # DataLoader workers, builder.py:21-131)
+    import queue
+    import threading
+
+    def make_batch(batch_items):
         samples = [
             pad_sample(dataset.get_sample(idx, aug=aug, rng=rng))
             for idx, aug in batch_items
         ]
         batch = {
-            k: jnp.asarray(np.stack([s[k] for s in samples]))
+            k: np.stack([s[k] for s in samples])
             for k in samples[0]
             if k != "gt_depth"
         }
         if "gt_depth" in samples[0]:
             batch["gt_depth"] = [
-                jnp.asarray(np.stack([s["gt_depth"][l] for s in samples]))
+                np.stack([s["gt_depth"][l] for s in samples])
                 for l in range(len(samples[0]["gt_depth"]))
             ]
-        batch = jax.device_put(batch, data_sh)
+        return batch
+
+    it = iter(sampler)
+    prefetch: "queue.Queue" = queue.Queue(maxsize=2)
+    max_iters = args.max_iters or tc.max_iters
+
+    def producer():
+        for _ in range(start_iter, max_iters):
+            prefetch.put(make_batch(next(it)))
+        prefetch.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    key = jax.random.PRNGKey(args.seed)
+    t0 = time.time()
+    for i in range(start_iter, max_iters):
+        batch = prefetch.get()
+        if batch is None:
+            break
+        batch = shard_batch(batch, mesh)
         state, temporal, dn_state, metrics = step_fn(
             state, batch, temporal, dn_state, key
         )
