@@ -8,7 +8,7 @@ kept 1:1 convertible from the released torch checkpoints.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

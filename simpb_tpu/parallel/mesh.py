@@ -15,7 +15,7 @@ images/features for high-res configs (the SURVEY §5 scaling plan);
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np

@@ -15,8 +15,8 @@ step as explicit pytrees.
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Optional, Tuple
+
+from typing import Any, Dict, Tuple
 
 import flax.struct
 import jax

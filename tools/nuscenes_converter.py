@@ -246,7 +246,6 @@ def convert(data_root, version, out_dir, max_sweeps=10):
 
         # 3D annotations in the lidar frame
         if version != "v1.0-test":
-            from nuscenes.utils.geometry_utils import BoxVisibility
 
             boxes = nusc.get_boxes(sample["data"]["LIDAR_TOP"])
             l2g_r = (

@@ -54,7 +54,7 @@ def main():
     from simpb_tpu.data.sampler import sequence_eval_shards
     from simpb_tpu.models.decoder3d import decode_boxes3d
     from simpb_tpu.models.detector import SimPB
-    from simpb_tpu.models.instance_bank import TemporalState
+    
 
     cfg = simpb_r50_704x256() if args.config == "r50" else simpb_r101_1408x512()
     cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")

@@ -14,7 +14,6 @@ Usage:
 """
 import argparse
 import dataclasses
-import json
 import os
 import sys
 import time
@@ -179,6 +178,19 @@ def main():
 
     ckptr = ocp.PyTreeCheckpointer()
 
+    # per-layer loss logging to tensorboard (reference TextLoggerHook +
+    # TensorboardLoggerHook, config:15-21); loss keys match the
+    # reference's naming (loss_cls3d_{i}, loss_box3d_{i}, ...)
+    tb_writer = None
+    try:
+        from flax.metrics import tensorboard as flax_tb
+
+        tb_writer = flax_tb.SummaryWriter(
+            os.path.join(args.work_dir, "tb")
+        )
+    except Exception:
+        pass
+
     def run_eval(step_no):
         """Mid-training eval (reference CustomDistEvalHook,
         core/evaluation/eval_hooks.py:30-97)."""
@@ -261,6 +273,10 @@ def main():
                 f"({dt / args.log_interval:.2f}s/iter)",
                 flush=True,
             )
+            if tb_writer is not None:
+                for k, v in metrics.items():
+                    tb_writer.scalar(k, float(v), i + 1)
+                tb_writer.flush()
             t0 = time.time()
         if (i + 1) % args.ckpt_interval == 0 or i + 1 == max_iters:
             path = os.path.abspath(
