@@ -139,3 +139,22 @@ def simpb_r101_1408x512() -> ModelConfig:
         backbone_depth=101,
         input_size=(1408, 512),
     )
+
+
+def simpb_tiny() -> ModelConfig:
+    """Miniature configuration for CPU smoke tests and CI."""
+    head = HeadConfig(
+        embed_dims=64,
+        num_groups=4,
+        num_anchor=32,
+        num_temp_instances=16,
+        allocation_capacity=8,
+        dn_allocation_capacity=8,
+        num_dn_groups=2,
+        num_temp_dn_groups=1,
+        max_dn_gt=4,
+        num_output=16,
+    )
+    return ModelConfig(
+        backbone_remat=False, input_size=(64, 32), head=head
+    )

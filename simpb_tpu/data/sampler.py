@@ -59,9 +59,10 @@ class GroupStreamSampler:
             g = g[::-1]
         return g
 
-    def _advance_slot(self, s: int) -> Tuple[int, Dict]:
+    def _advance_slot(self, s: int) -> Tuple[int, Dict, bool]:
         st = self._slot[s]
-        if st is None or st[1] >= len(st[0]):
+        new_seq = st is None or st[1] >= len(st[0])
+        if new_seq:
             frames = self._next_group()
             aug = self.dataset.get_augmentation(self.rng)
             st = (frames, 0, aug)
@@ -75,9 +76,12 @@ class GroupStreamSampler:
         ):
             step = 2
         self._slot[s] = (frames, cur + step, aug)
-        return idx, aug
+        return idx, aug, new_seq
 
-    def __iter__(self) -> Iterator[List[Tuple[int, Dict]]]:
+    def __iter__(self) -> Iterator[List[Tuple[int, Dict, bool]]]:
+        """Yields per-rank batches of (frame_idx, aug_config, new_seq);
+        `new_seq` marks the first frame of a slot's (sub-)sequence so the
+        temporal stream can be broken there."""
         while True:
             # advance every global slot with the shared RNG (keeps ranks
             # in lockstep like the reference's broadcast seed), keep ours

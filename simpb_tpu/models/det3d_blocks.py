@@ -96,24 +96,30 @@ class SparseBox3DRefinementModule(nn.Module):
         out = nn.Dense(self.output_dim, dtype=self.dtype, name="out_fc")(out)
         out = Scale(self.output_dim, name="scale")(out)
 
-        refine_idx = [X, Y, Z, W, L, H]
-        if self.refine_yaw:
-            refine_idx += [SIN_YAW, COS_YAW]
-        delta = out[..., refine_idx] + anchor[..., refine_idx]
-        refined = out.at[..., jnp.asarray(refine_idx)].set(delta)
+        # refine_state is always a contiguous [0, n) prefix ([X..H] or
+        # [X..COS_YAW]); use slice/concat forms — fused gather+scatter of
+        # the same tensor miscompiles on the TPU stack (see
+        # tests/test_backend_safety.py)
+        n = 8 if self.refine_yaw else 6
+        head_part = out[..., :n] + anchor[..., :n]
         if self.normalize_yaw:
-            yaw = refined[..., (SIN_YAW, COS_YAW)]
+            yaw = head_part[..., SIN_YAW:COS_YAW + 1]
             yaw = yaw / jnp.maximum(
                 jnp.linalg.norm(yaw, axis=-1, keepdims=True), 1e-12
             )
-            refined = refined.at[..., jnp.asarray([SIN_YAW, COS_YAW])].set(yaw)
-
+            head_part = jnp.concatenate(
+                [head_part[..., :SIN_YAW], yaw, head_part[..., COS_YAW + 1 :]],
+                axis=-1,
+            )
+        tail = out[..., n:]
         if self.output_dim > 8:
-            dt = jnp.asarray(time_interval, refined.dtype)
+            dt = jnp.asarray(time_interval, out.dtype)
             if dt.ndim == 0:
                 dt = dt[None]
-            velocity = refined[..., VX:] / dt[:, None, None]
-            refined = refined.at[..., VX:].set(velocity + anchor[..., VX:])
+            mid = out[..., n:VX]  # yaw slots when refine_yaw is False
+            velocity = out[..., VX:] / dt[:, None, None] + anchor[..., VX:]
+            tail = jnp.concatenate([mid, velocity], axis=-1)
+        refined = jnp.concatenate([head_part, tail], axis=-1)
 
         cls = None
         quality = None

@@ -186,7 +186,16 @@ def sparse_box3d_loss(
             cls_target, jnp.asarray(cls_allow_reverse)
         )
         yaw_tgt = jnp.where(reverse[..., None], -yaw_tgt, yaw_tgt)
-        box_target = box_target.at[..., (SIN_YAW, COS_YAW)].set(yaw_tgt)
+        # slice/concat instead of .at[..., idx].set — fused gather+scatter
+        # of the same tensor miscompiles on the TPU stack
+        box_target = jnp.concatenate(
+            [
+                box_target[..., :SIN_YAW],
+                yaw_tgt,
+                box_target[..., COS_YAW + 1 :],
+            ],
+            axis=-1,
+        )
         cos_sim = jnp.where(reverse, -cos_sim, cos_sim)
 
     out = {

@@ -1,0 +1,122 @@
+"""End-to-end CLI integration: train -> checkpoint -> streaming eval.
+
+Exercises the full product surface on synthetic data with the tiny
+config: dataset pkl contract, image loading (real PNG files), host
+pipeline, streaming sampler, jitted train step, orbax checkpointing,
+sequence-aligned eval, decode, and the native mAP/NDS metrics.
+"""
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+SRC_H, SRC_W = 60, 100
+
+
+def write_fake_dataset(tmp_path, n_frames=8):
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    from PIL import Image
+
+    infos = []
+    for i in range(n_frames):
+        cams = {}
+        for c in range(6):
+            path = str(img_dir / f"img_{i}_{c}.png")
+            Image.fromarray(
+                rng.integers(0, 255, (SRC_H, SRC_W, 3)).astype(np.uint8)
+            ).save(path)
+            cams[f"CAM{c}"] = dict(
+                data_path=path,
+                sensor2lidar_rotation=np.eye(3),
+                sensor2lidar_translation=np.zeros(3),
+                cam_intrinsic=np.array(
+                    [[40.0, 0, SRC_W / 2], [0, 40.0, SRC_H / 2], [0, 0, 1]]
+                ),
+            )
+        g = 4
+        boxes = np.zeros((g, 7))
+        boxes[:, :2] = rng.uniform(-20, 20, (g, 2))
+        boxes[:, 2] = 0.5
+        boxes[:, 3:6] = rng.uniform(1, 3, (g, 3))
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, g)
+        infos.append(
+            dict(
+                token=f"tok{i}",
+                cams=cams,
+                timestamp=(1.5e9 + i * 0.5) * 1e6,
+                lidar_path=None,
+                sweeps=[] if i % 4 == 0 else [1],
+                lidar2ego_rotation=[1, 0, 0, 0],
+                lidar2ego_translation=[0, 0, 0],
+                ego2global_rotation=[1, 0, 0, 0],
+                ego2global_translation=[i * 2.0, 0, 0],
+                gt_boxes=boxes,
+                gt_names=np.array(["car", "truck", "bus", "pedestrian"]),
+                gt_velocity=rng.uniform(-1, 1, (g, 2)),
+                num_lidar_pts=np.full(g, 5),
+                valid_flag=np.ones(g, bool),
+                instance_inds=np.arange(g) + 100 * i,
+                bboxes2d=[
+                    np.array([[5.0, 5, 40, 40]], np.float32)
+                    for _ in range(6)
+                ],
+                labels2d=[np.array([0]) for _ in range(6)],
+                centers2d=[np.array([[20.0, 20.0]]) for _ in range(6)],
+                depths=[np.array([8.0]) for _ in range(6)],
+                gt_2d_3d_map=[np.array([0]) for _ in range(6)],
+            )
+        )
+    pkl = tmp_path / "infos.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump({"infos": infos, "metadata": {"version": "fake"}}, f)
+    return str(pkl)
+
+
+@pytest.mark.timeout(1200)
+def test_train_then_eval_cli(tmp_path):
+    pkl = write_fake_dataset(tmp_path)
+    work = tmp_path / "work"
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    )
+
+    train = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "tools", "train.py"),
+            "--ann-file", pkl, "--config", "tiny", "--batch-size", "1",
+            "--max-iters", "2", "--log-interval", "1",
+            "--ckpt-interval", "2", "--work-dir", str(work),
+            "--src-h", str(SRC_H), "--src-w", str(SRC_W),
+        ],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert train.returncode == 0, train.stderr[-3000:]
+    assert "loss" in train.stdout
+    ckpts = [d for d in os.listdir(work) if d.startswith("ckpt_")]
+    assert ckpts, train.stdout
+
+    test = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "tools", "test.py"),
+            "--ann-file", pkl, "--config", "tiny",
+            "--checkpoint", str(work / ckpts[0]),
+            "--max-frames", "3",
+            "--src-h", str(SRC_H), "--src-w", str(SRC_W),
+        ],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert test.returncode == 0, test.stderr[-3000:]
+    assert '"mAP"' in test.stdout and '"NDS"' in test.stdout, test.stdout
+    metrics = json.loads(
+        test.stdout[test.stdout.index("{") :].split("}")[0] + "}"
+    )
+    assert 0.0 <= metrics["NDS"] <= 1.0

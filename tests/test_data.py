@@ -140,9 +140,12 @@ def test_dataset_sequences_and_sampler(tmp_path):
     batches = [next(it) for _ in range(5)]
     for b in batches:
         assert len(b) == 2
-        for idx, aug in b:
+        for idx, aug, new_seq in b:
             assert 0 <= idx < 12
             assert "crop" in aug
+            assert isinstance(new_seq, bool)
+    # first batch starts fresh sequences
+    assert all(item[2] for item in batches[0])
     # slots advance within the same group consecutively
     idx_series = [b[0][0] for b in batches]
     flags = [ds.flag[i] for i in idx_series]

@@ -23,6 +23,12 @@ from collections import Counter
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# the axon sitecustomize pre-registers the TPU backend regardless of the
+# JAX_PLATFORMS env var; honour the env explicitly
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 

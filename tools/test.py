@@ -21,6 +21,12 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# the axon sitecustomize pre-registers the TPU backend regardless of the
+# JAX_PLATFORMS env var; honour the env explicitly
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,7 +35,10 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--ann-file", required=True)
     p.add_argument("--data-root", default="")
-    p.add_argument("--config", default="r50", choices=["r50", "r101"])
+    p.add_argument("--config", default="r50",
+                   choices=["r50", "r101", "tiny"])
+    p.add_argument("--src-h", type=int, default=900)
+    p.add_argument("--src-w", type=int, default=1600)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--torch-checkpoint", default=None)
     p.add_argument("--out", default=None, help="submission json path")
@@ -44,7 +53,11 @@ def parse_args():
 
 def main():
     args = parse_args()
-    from simpb_tpu.configs.base import simpb_r101_1408x512, simpb_r50_704x256
+    from simpb_tpu.configs.base import (
+        simpb_r101_1408x512,
+        simpb_r50_704x256,
+        simpb_tiny,
+    )
     from simpb_tpu.data.dataset import NuScenesDataset
     from simpb_tpu.data.nuscenes_eval import evaluate_detections
     from simpb_tpu.data.postprocess import (
@@ -56,7 +69,8 @@ def main():
     from simpb_tpu.models.detector import SimPB
     
 
-    cfg = simpb_r50_704x256() if args.config == "r50" else simpb_r101_1408x512()
+    cfg = {"r50": simpb_r50_704x256, "r101": simpb_r101_1408x512,
+           "tiny": simpb_tiny}[args.config]()
     cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
     fw, fh = cfg.input_size
     aug_conf = {
@@ -64,8 +78,8 @@ def main():
         "final_dim": (fh, fw),
         "bot_pct_lim": (0.0, 0.0),
         "rot_lim": (0, 0),
-        "H": 900,
-        "W": 1600,
+        "H": args.src_h,
+        "W": args.src_w,
         "rand_flip": False,
         "rot3d_range": [0, 0],
     }

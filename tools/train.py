@@ -21,6 +21,12 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# the axon sitecustomize pre-registers the TPU backend regardless of the
+# JAX_PLATFORMS env var; honour the env explicitly
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,13 +35,16 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--ann-file", required=True)
     p.add_argument("--data-root", default="")
-    p.add_argument("--config", default="r50", choices=["r50", "r101"])
+    p.add_argument("--config", default="r50",
+                   choices=["r50", "r101", "tiny"])
     p.add_argument("--work-dir", default="work_dirs/simpb_tpu")
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--log-interval", type=int, default=50)
     p.add_argument("--ckpt-interval", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--src-h", type=int, default=900)
+    p.add_argument("--src-w", type=int, default=1600)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--load-from", default=None,
                    help="torch .pth or orbax checkpoint to initialise from")
@@ -57,6 +66,7 @@ def main():
         TrainConfig,
         simpb_r101_1408x512,
         simpb_r50_704x256,
+        simpb_tiny,
     )
     from simpb_tpu.data.dataset import NuScenesDataset, pad_sample
     from simpb_tpu.data.sampler import GroupStreamSampler
@@ -67,7 +77,8 @@ def main():
         init_temporal,
     )
 
-    cfg = simpb_r50_704x256() if args.config == "r50" else simpb_r101_1408x512()
+    cfg = {"r50": simpb_r50_704x256, "r101": simpb_r101_1408x512,
+           "tiny": simpb_tiny}[args.config]()
     if args.bf16:
         cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
     tc = TrainConfig(batch_size=args.batch_size)
@@ -82,8 +93,8 @@ def main():
         "final_dim": (fh, fw),
         "bot_pct_lim": (0.0, 0.0),
         "rot_lim": (0, 0),
-        "H": 900,
-        "W": 1600,
+        "H": args.src_h,
+        "W": args.src_w,
         "rand_flip": True,
         "rot3d_range": [-0.3925, 0.3925],
     }
@@ -171,7 +182,8 @@ def main():
     temporal = jax.device_put(temporal, data_sh)
     dn_state = jax.device_put(dn_state, data_sh)
 
-    step_fn = jax.jit(build_train_step(model, tc), donate_argnums=(0, 2, 3))
+    donate = () if os.environ.get("SIMPB_NO_DONATE") else (0, 2, 3)
+    step_fn = jax.jit(build_train_step(model, tc), donate_argnums=donate)
 
     os.makedirs(args.work_dir, exist_ok=True)
     import orbax.checkpoint as ocp
@@ -182,14 +194,15 @@ def main():
     # TensorboardLoggerHook, config:15-21); loss keys match the
     # reference's naming (loss_cls3d_{i}, loss_box3d_{i}, ...)
     tb_writer = None
-    try:
-        from flax.metrics import tensorboard as flax_tb
+    if not os.environ.get("SIMPB_NO_TB"):
+        try:
+            from flax.metrics import tensorboard as flax_tb
 
-        tb_writer = flax_tb.SummaryWriter(
-            os.path.join(args.work_dir, "tb")
-        )
-    except Exception:
-        pass
+            tb_writer = flax_tb.SummaryWriter(
+                os.path.join(args.work_dir, "tb")
+            )
+        except Exception:
+            pass
 
     def run_eval(step_no):
         """Mid-training eval (reference CustomDistEvalHook,
@@ -227,16 +240,41 @@ def main():
     import queue
     import threading
 
+    # per-slot previous-frame pose/timestamp for temporal metadata
+    # (the reference computes these from batched img_metas on device,
+    # instance_bank.py:84-97; here the host provides dt + temp2cur)
+    prev_pose = [None] * args.batch_size
+
     def make_batch(batch_items):
-        samples = [
-            pad_sample(dataset.get_sample(idx, aug=aug, rng=rng))
-            for idx, aug in batch_items
+        raws = [
+            dataset.get_sample(idx, aug=aug, rng=rng)
+            for idx, aug, _ in batch_items
         ]
+        samples = [
+            pad_sample(
+                s,
+                max_gt3d=min(128, cfg.head.num_anchor),
+                max_gt2d=min(64, cfg.head.allocation_capacity),
+            )
+            for s in raws
+        ]
+        dts = np.zeros((len(raws),), np.float32)
+        t2c = np.tile(np.eye(4, dtype=np.float32), (len(raws), 1, 1))
+        for j, (raw, (_, _, new_seq)) in enumerate(zip(raws, batch_items)):
+            if new_seq or prev_pose[j] is None:
+                dts[j] = 1e6  # breaks the stream (|dt| > max_time_interval)
+            else:
+                pts, pT = prev_pose[j]
+                dts[j] = raw["timestamp"] - pts
+                t2c[j] = np.linalg.inv(raw["lidar2global"]) @ pT
+            prev_pose[j] = (raw["timestamp"], raw["lidar2global"])
         batch = {
             k: np.stack([s[k] for s in samples])
             for k in samples[0]
             if k != "gt_depth"
         }
+        batch["time_interval"] = dts
+        batch["temp2cur"] = t2c
         if "gt_depth" in samples[0]:
             batch["gt_depth"] = [
                 np.stack([s["gt_depth"][l] for s in samples])
