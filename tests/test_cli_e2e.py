@@ -79,7 +79,6 @@ def write_fake_dataset(tmp_path, n_frames=8):
     return str(pkl)
 
 
-@pytest.mark.timeout(1200)
 def test_train_then_eval_cli(tmp_path):
     pkl = write_fake_dataset(tmp_path)
     work = tmp_path / "work"
