@@ -14,6 +14,7 @@ reflects device throughput of the full per-frame pipeline
 update).
 """
 import json
+import os
 import time
 
 import jax
@@ -34,6 +35,12 @@ def main():
     cfg = dataclasses.replace(
         simpb_r50_704x256(), compute_dtype="bfloat16", head_dtype="bfloat16"
     )
+    if os.environ.get("SIMPB_MSDA_PATCH"):
+        # approximate fast sampling path (PERF.md lever #1); default off
+        # so the reported number reflects exact reference semantics
+        cfg = dataclasses.replace(
+            cfg, head=dataclasses.replace(cfg.head, msda_patch_mode=True)
+        )
     model = SimPB(cfg)
     bs, cams = 1, cfg.head.num_cams
     w, h = cfg.input_size

@@ -53,6 +53,9 @@ class HeadConfig:
     with_quality_estimation: bool = True
     enable2d: bool = True
     drop_out: float = 0.1
+    # approximate patch-mode 2D cross-attn sampling (PERF.md lever #1);
+    # exact MSDA when False
+    msda_patch_mode: bool = False
     dfa_attn_drop: float = 0.15
     num_learnable_pts: int = 6
     confidence_decay: float = 0.6

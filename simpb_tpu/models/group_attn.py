@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.format import SpatialShapes
-from ..ops.sampling import msda
+from ..ops.sampling import msda, msda_patch
 from .layers import MultiheadAttention
 
 
@@ -115,6 +115,8 @@ class QueryGroupMSDA(nn.Module):
     dropout: float = 0.1
     residual_mode: str = "cat"
     dtype: jnp.dtype = jnp.float32
+    # approximate fast sampling path (PERF.md lever #1); exact when off
+    patch_mode: bool = False
 
     @nn.compact
     def __call__(
@@ -184,7 +186,8 @@ class QueryGroupMSDA(nn.Module):
             bs * self.num_cams, k, self.num_heads, self.num_levels,
             self.num_points,
         )
-        out = msda(v, spatial_shapes, loc, w)
+        sample_fn = msda_patch if self.patch_mode else msda
+        out = sample_fn(v, spatial_shapes, loc, w)
         out = out.reshape(bs, q_total, self.embed_dims)
         out = nn.Dense(self.embed_dims, dtype=self.dtype, name="output_proj")(
             out

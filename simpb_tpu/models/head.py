@@ -194,6 +194,7 @@ class SimPBHead(nn.Module):
                         num_levels=c.num_levels,
                         num_cams=c.num_cams,
                         dropout=c.drop_out,
+                        patch_mode=c.msda_patch_mode,
                         dtype=self.dtype,
                         name=f"op{i}_qg_cross_attn",
                     )

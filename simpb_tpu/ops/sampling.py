@@ -329,3 +329,119 @@ def msda(
     return sample_core(
         value.reshape(b * total_hw, c), loc, attention_weights
     )
+
+
+def msda_patch(
+    value: jnp.ndarray,
+    spatial_shapes: SpatialShapes,
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    patch_h: int = 8,
+    patch_w: int = 8,
+) -> jnp.ndarray:
+    """Approximate patch-mode MSDA (flag-gated; see PERF.md lever #1).
+
+    All of a query's samples at a level are served from one
+    `patch_h x patch_w` pixel window centred on their mean location:
+    the window is gathered once (`ph*pw/2` pair rows vs `2*heads*points`
+    rows for exact `msda` — a 2x row cut at the default 8x8/8h4p config)
+    and the per-sample bilinear interpolation becomes a one-hot
+    contraction on the MXU.
+
+    Deviation from exact `msda`: sample coordinates are clamped into the
+    window (offsets learned to reach further than ~patch/2 pixels from
+    the query's mean are foreshortened), and out-of-image samples are
+    zeroed whole rather than per-corner. Exact when all of a query's
+    samples fall inside the window and the image interior (tested).
+
+    Same signature/return as `msda`.
+    """
+    b, total_hw, c = value.shape
+    q = sampling_locations.shape[1]
+    heads, num_levels, num_points = sampling_locations.shape[2:5]
+    head_dim = c // heads
+    n = heads * num_points  # samples per (query, level)
+
+    # [B,Q,H,L,P,2] -> [B,Q,L,n(H-major),2]
+    loc = sampling_locations.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, q, num_levels, n, 2
+    )
+    attw = attention_weights.transpose(0, 1, 3, 2, 4).reshape(
+        b, q, num_levels, n
+    )
+    head_mask = jnp.repeat(
+        jnp.eye(heads, dtype=jnp.float32), head_dim, axis=1
+    )  # [heads, C]
+
+    @jax.checkpoint
+    def sample_core(value_flat, loc, attw):
+        pair = make_pair_table(value_flat)
+        batch_base = (jnp.arange(b, dtype=jnp.int32) * total_hw)[:, None]
+        out = jnp.zeros((b, q, c), jnp.float32)
+        for lvl in range(num_levels):
+            h_, w_ = spatial_shapes.shapes[lvl]
+            start = spatial_shapes.start_indices[lvl]
+            # shrink the window on levels smaller than the patch; pair
+            # fetches cover 2 pixels, so the window width must be even
+            ph = min(patch_h, h_)
+            pw = min(patch_w, w_)
+            pw = max(2, pw - (pw % 2))
+            l = loc[:, :, lvl]  # [B,Q,n,2]
+            px = l[..., 0] * w_ - 0.5
+            py = l[..., 1] * h_ - 0.5
+            # zero-pad approximation: drop samples fully outside the image
+            keep = (
+                (px > -1.0) & (px < w_) & (py > -1.0) & (py < h_)
+            ).astype(jnp.float32)
+            base_x = jnp.clip(
+                jnp.round(px.mean(-1)).astype(jnp.int32) - pw // 2,
+                0, w_ - pw,
+            )  # [B,Q]
+            base_y = jnp.clip(
+                jnp.round(py.mean(-1)).astype(jnp.int32) - ph // 2,
+                0, h_ - ph,
+            )
+            # clamp into the bilinear-safe window interior
+            fx = jnp.clip(px - base_x[..., None], 0.0, pw - 1 - 1e-4)
+            fy = jnp.clip(py - base_y[..., None], 0.0, ph - 1 - 1e-4)
+            x0 = jnp.floor(fx).astype(jnp.int32)  # in [0, pw-2]
+            y0 = jnp.floor(fy).astype(jnp.int32)
+            wx1 = (fx - x0).astype(jnp.float32)
+            wy1 = (fy - y0).astype(jnp.float32)
+            # patch rows: [B,Q,ph,pw/2] pair fetches cover ph*pw pixels
+            dy = jnp.arange(ph, dtype=jnp.int32)
+            dxp = jnp.arange(pw // 2, dtype=jnp.int32) * 2
+            rows = (
+                batch_base[:, :, None, None]
+                + start
+                + (base_y[:, :, None, None] + dy[None, None, :, None]) * w_
+                + base_x[:, :, None, None]
+                + dxp[None, None, None, :]
+            )
+            patch = jnp.take(pair, rows.reshape(-1), axis=0).reshape(
+                b, q, ph * pw, c
+            )
+            # separable one-hot bilinear weights over the window
+            whx = (1.0 - wx1)[..., None] * jax.nn.one_hot(
+                x0, pw, dtype=jnp.float32
+            ) + wx1[..., None] * jax.nn.one_hot(x0 + 1, pw, dtype=jnp.float32)
+            why = (1.0 - wy1)[..., None] * jax.nn.one_hot(
+                y0, ph, dtype=jnp.float32
+            ) + wy1[..., None] * jax.nn.one_hot(y0 + 1, ph, dtype=jnp.float32)
+            a = attw[:, :, lvl].astype(jnp.float32) * keep  # [B,Q,n]
+            wpix = jnp.einsum("bqnh,bqnw->bqnhw", why, whx).reshape(
+                b, q, n, ph * pw
+            ) * a[..., None]
+            # fold points per head, then contract window pixels on the MXU
+            wpix = wpix.reshape(b, q, heads, num_points, ph * pw).sum(3)
+            weighted = jnp.einsum(
+                "bqhe,bqec->bqhc", wpix, patch.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            out = out + jnp.einsum(
+                "bqhc,hc->bqc", weighted, head_mask,
+                preferred_element_type=jnp.float32,
+            )
+        return out
+
+    return sample_core(value.reshape(b * total_hw, c), loc, attw)
