@@ -48,6 +48,9 @@ def parse_args():
                    help="render detections on images + BEV (reference"
                         " --show_only) and write a video here")
     p.add_argument("--show-threshold", type=float, default=0.3)
+    p.add_argument("--msda-patch", action="store_true",
+                   help="approximate patch-mode 2D cross-attn sampling "
+                        "(~1.4x faster, PERF.md lever #1)")
     return p.parse_args()
 
 
@@ -72,6 +75,10 @@ def main():
     cfg = {"r50": simpb_r50_704x256, "r101": simpb_r101_1408x512,
            "tiny": simpb_tiny}[args.config]()
     cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    if args.msda_patch:
+        cfg = dataclasses.replace(
+            cfg, head=dataclasses.replace(cfg.head, msda_patch_mode=True)
+        )
     fw, fh = cfg.input_size
     aug_conf = {
         "resize_lim": (0.40, 0.47),
