@@ -15,6 +15,7 @@ Usage:
 import argparse
 import dataclasses
 import json
+import math
 import os
 import sys
 
@@ -230,7 +231,13 @@ def main():
         print(f"wrote {len(vis_frames)}-frame video to {args.show_dir}")
 
     metrics = evaluate_detections(preds, gts)
-    print(json.dumps({k: round(v, 4) for k, v in metrics.items()}, indent=1))
+    # NaN marks classes absent from the eval split; emit null so the
+    # output stays strict JSON
+    print(json.dumps(
+        {k: (None if math.isnan(v) else round(v, 4))
+         for k, v in metrics.items()},
+        indent=1,
+    ))
 
     if args.out:
         sub = format_nuscenes_submission(
