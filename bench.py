@@ -24,6 +24,10 @@ import numpy as np
 from simpb_tpu.configs.base import simpb_r50_704x256
 from simpb_tpu.models.detector import SimPB
 from simpb_tpu.models.instance_bank import TemporalState
+from simpb_tpu.utils.synthetic import (
+    install_synthetic_anchors,
+    synthetic_rig,
+)
 
 BASELINE_FPS = 50.0
 WINDOW = 32
@@ -41,6 +45,24 @@ def main():
         cfg = dataclasses.replace(
             cfg, head=dataclasses.replace(cfg.head, msda_patch_mode=True)
         )
+    if os.environ.get("SIMPB_DFA_CAP"):
+        # gather-capacity sweep knob (PERF.md lever #3)
+        cfg = dataclasses.replace(
+            cfg,
+            head=dataclasses.replace(
+                cfg.head,
+                dfa_gather_capacity=int(os.environ["SIMPB_DFA_CAP"]),
+            ),
+        )
+    if os.environ.get("SIMPB_MSDA_CAP"):
+        # MSDA valid-slot compaction sweep knob
+        cfg = dataclasses.replace(
+            cfg,
+            head=dataclasses.replace(
+                cfg.head,
+                msda_gather_capacity=int(os.environ["SIMPB_MSDA_CAP"]),
+            ),
+        )
     model = SimPB(cfg)
     bs, cams = 1, cfg.head.num_cams
     w, h = cfg.input_size
@@ -50,10 +72,11 @@ def main():
     imgs = jnp.asarray(
         rng.normal(size=(WINDOW, bs, cams, h, w, 3)).astype(np.float32)
     )
-    proj = jnp.asarray(
-        np.tile(np.eye(4, dtype=np.float32), (bs, cams, 1, 1))
-        * np.float32(100.0)
-    )
+    # realistic 6-camera surround rig + k-means-like anchors so the
+    # allocation / compaction / decode paths see production-like
+    # visibility patterns (round-1 used identity projections, which made
+    # capacity tuning meaningless)
+    proj = jnp.asarray(synthetic_rig(bs, image_wh=(w, h)))
     variables = jax.jit(
         lambda: model.init(
             {
@@ -67,6 +90,7 @@ def main():
             train=False,
         )
     )()
+    variables = install_synthetic_anchors(variables, cfg.head.num_anchor)
 
     state = TemporalState.init(
         bs, cfg.head.num_temp_instances, cfg.head.num_anchor,

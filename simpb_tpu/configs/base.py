@@ -56,6 +56,10 @@ class HeadConfig:
     # approximate patch-mode 2D cross-attn sampling (PERF.md lever #1);
     # exact MSDA when False
     msda_patch_mode: bool = False
+    # per-camera cap on MSDA slots actually sampled (valid-slot
+    # compaction; exact while per-camera valid allocations fit — see
+    # models/group_attn.py). None gathers every slot.
+    msda_gather_capacity: Optional[int] = None
     dfa_attn_drop: float = 0.15
     num_learnable_pts: int = 6
     confidence_decay: float = 0.6
@@ -85,6 +89,8 @@ class HeadConfig:
 class ModelConfig:
     backbone_depth: int = 50
     backbone_remat: bool = True  # reference with_cp=True (config:86)
+    # exact-equivalent space-to-depth stem (models/backbone.py::StemConv)
+    stem_s2d: bool = True
     use_grid_mask: bool = True
     num_depth_layers: int = 3
     depth_loss_weight: float = 0.2

@@ -57,19 +57,68 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class StemConv(nn.Module):
+    """7x7 stride-2 stem conv with an optional space-to-depth fast path.
+
+    The plain 7x7/s2 stem is the single largest non-gather kernel on TPU
+    (PERF.md lever #4): 3 input channels starve the MXU and the stride
+    defeats tiling. The s2d path computes the IDENTICAL function —
+    space-to-depth(2) rearranges the image to 12 channels at half
+    resolution, and the 7x7/s2 kernel folds exactly into a 4x4/s1 kernel
+    with asymmetric (2,1) padding (tap k of the 7-tap window lands in
+    s2d cell floor((k-3)/2) at parity (k-3) mod 2; the one missing
+    (cell -2, parity 0) position carries zero weight). Exactness is
+    tested in tests/test_backbone.py; the param keeps the torchvision
+    conv1 7x7 layout so checkpoint conversion is unchanged.
+    """
+
+    features: int = 64
+    s2d: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, x.shape[-1], self.features),
+        )
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if not self.s2d or x.shape[1] % 2 or x.shape[2] % 2:
+            return jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        b, h, w, c = x.shape
+        xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        w2 = jnp.zeros((4, 4, 4 * c, self.features), kernel.dtype)
+        for ty in range(7):
+            ay, by = (ty - 3) // 2 + 2, (ty - 3) % 2
+            for tx in range(7):
+                ax, bx = (tx - 3) // 2 + 2, (tx - 3) % 2
+                ch = (by * 2 + bx) * c
+                w2 = w2.at[ay, ax, ch : ch + c].set(kernel[ty, tx])
+        return jax.lax.conv_general_dilated(
+            xs, w2, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ResNet(nn.Module):
     """ResNet-50/101 trunk returning C2..C5 feature maps (NHWC)."""
 
     depth: int = 50
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # reference with_cp=True (config:86)
+    stem_s2d: bool = True  # exact-equivalent s2d stem (PERF.md lever #4)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         stage_blocks = RESNET_STAGE_BLOCKS[self.depth]
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, name="conv1",
+        x = StemConv(
+            features=64, s2d=self.stem_s2d, dtype=self.dtype, name="conv1"
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,

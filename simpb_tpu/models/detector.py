@@ -34,6 +34,7 @@ class SimPB(nn.Module):
             depth=self.cfg.backbone_depth,
             dtype=self.dtype,
             remat=self.cfg.backbone_remat,
+            stem_s2d=self.cfg.stem_s2d,
             name="img_backbone",
         )
         self.neck = FPN(

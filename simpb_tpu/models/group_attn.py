@@ -117,6 +117,14 @@ class QueryGroupMSDA(nn.Module):
     dtype: jnp.dtype = jnp.float32
     # approximate fast sampling path (PERF.md lever #1); exact when off
     patch_mode: bool = False
+    # per-camera cap on slots actually sampled: only slots with an
+    # allocated depth are gathered (padded slots' sampled values are
+    # dead downstream — masked as self-attn keys, zero trans_matrix rows
+    # in aggregation, zero loss weight — so compacting them away is
+    # EXACT whenever the per-camera valid count fits the cap; the
+    # reference's ragged layout never materialises them at all,
+    # group_attn.py:198-235). None disables compaction.
+    gather_capacity: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -187,7 +195,31 @@ class QueryGroupMSDA(nn.Module):
             self.num_points,
         )
         sample_fn = msda_patch if self.patch_mode else msda
-        out = sample_fn(v, spatial_shapes, loc, w)
+        cap = self.gather_capacity
+        if cap is not None and cap < k:
+            # valid-slot compaction: sample only slots with an allocated
+            # depth, in slot order; scatter results back on the MXU
+            b2 = bs * self.num_cams
+            valid = (ref_depth[..., 0] > 0).reshape(b2, k)
+            score = valid.astype(jnp.float32) * (2.0 * k) - jnp.arange(
+                k, dtype=jnp.float32
+            )
+            _, sel = jax.lax.top_k(score, cap)  # [b2, cap]
+            sel = sel.astype(jnp.int32)
+            take = lambda x: jnp.take_along_axis(
+                x, sel.reshape(sel.shape + (1,) * (x.ndim - 2)), axis=1
+            )
+            sel_valid = jnp.take_along_axis(valid, sel, axis=1)
+            out_sel = sample_fn(v, spatial_shapes, take(loc), take(w))
+            onehot = jax.nn.one_hot(
+                sel, k, dtype=jnp.float32
+            ) * sel_valid[..., None].astype(jnp.float32)
+            out = jnp.einsum(
+                "bmk,bmc->bkc", onehot, out_sel,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            out = sample_fn(v, spatial_shapes, loc, w)
         out = out.reshape(bs, q_total, self.embed_dims)
         out = nn.Dense(self.embed_dims, dtype=self.dtype, name="output_proj")(
             out

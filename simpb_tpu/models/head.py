@@ -195,6 +195,7 @@ class SimPBHead(nn.Module):
                         num_cams=c.num_cams,
                         dropout=c.drop_out,
                         patch_mode=c.msda_patch_mode,
+                        gather_capacity=c.msda_gather_capacity,
                         dtype=self.dtype,
                         name=f"op{i}_qg_cross_attn",
                     )

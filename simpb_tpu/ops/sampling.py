@@ -348,11 +348,14 @@ def msda_patch(
     and the per-sample bilinear interpolation becomes a one-hot
     contraction on the MXU.
 
-    Deviation from exact `msda`: sample coordinates are clamped into the
-    window (offsets learned to reach further than ~patch/2 pixels from
-    the query's mean are foreshortened), and out-of-image samples are
-    zeroed whole rather than per-corner. Exact when all of a query's
-    samples fall inside the window and the image interior (tested).
+    The ONLY deviation from exact `msda` is window clamping: sample
+    coordinates are clamped into the window (offsets learned to reach
+    further than ~patch/2 pixels from the query's sample midrange are
+    foreshortened). Border semantics are exact: windows may hang off the
+    image edge (fetched rows are index-clamped, their weights carry the
+    same per-corner zero-padding masks as `msda`), so any sample that
+    fits the window — inside or partially outside the image — produces
+    the exact grid_sample value (tested).
 
     Same signature/return as `msda`.
     """
@@ -389,25 +392,61 @@ def msda_patch(
             l = loc[:, :, lvl]  # [B,Q,n,2]
             px = l[..., 0] * w_ - 0.5
             py = l[..., 1] * h_ - 0.5
-            # zero-pad approximation: drop samples fully outside the image
+            # samples with any in-image bilinear support (grid_sample
+            # zero-padding keeps partial contributions out to 1 px)
             keep = (
                 (px > -1.0) & (px < w_) & (py > -1.0) & (py < h_)
             ).astype(jnp.float32)
+            # midrange centring: the window [base, base+p-1] covers every
+            # kept sample whenever the spread (max-min) <= p-1 pixels —
+            # the tightest guarantee any single window gives; mean
+            # centring (round 1) could miss by the full half-spread.
+            # Dropped (out-of-image, zero-weight) samples are excluded so
+            # they don't drag the window. All-dropped queries fall back
+            # to mid 0; their output is zero regardless.
+            kb = keep > 0.0
+            big = jnp.float32(1e9)
+            mid_x = 0.5 * (
+                jnp.min(jnp.where(kb, px, big), -1)
+                + jnp.max(jnp.where(kb, px, -big), -1)
+            )
+            mid_y = 0.5 * (
+                jnp.min(jnp.where(kb, py, big), -1)
+                + jnp.max(jnp.where(kb, py, -big), -1)
+            )
             base_x = jnp.clip(
-                jnp.round(px.mean(-1)).astype(jnp.int32) - pw // 2,
+                jnp.round(mid_x - (pw - 1) / 2.0).astype(jnp.int32),
                 0, w_ - pw,
             )  # [B,Q]
             base_y = jnp.clip(
-                jnp.round(py.mean(-1)).astype(jnp.int32) - ph // 2,
+                jnp.round(mid_y - (ph - 1) / 2.0).astype(jnp.int32),
                 0, h_ - ph,
             )
-            # clamp into the bilinear-safe window interior
-            fx = jnp.clip(px - base_x[..., None], 0.0, pw - 1 - 1e-4)
-            fy = jnp.clip(py - base_y[..., None], 0.0, ph - 1 - 1e-4)
-            x0 = jnp.floor(fx).astype(jnp.int32)  # in [0, pw-2]
-            y0 = jnp.floor(fy).astype(jnp.int32)
-            wx1 = (fx - x0).astype(jnp.float32)
-            wy1 = (fy - y0).astype(jnp.float32)
+            # taper-clamp the UNCLAMPED sample into [base-1, base+p]:
+            # corners are then computed at their true positions (exact
+            # border semantics — corners outside the window or the image
+            # simply get a zero one-hot below), while samples reaching
+            # beyond the window fade out smoothly instead of being
+            # dragged to the window edge with full weight
+            ax = jnp.clip(
+                px,
+                base_x[..., None] - 1 + 1e-4,
+                base_x[..., None] + pw - 1e-4,
+            )
+            ay = jnp.clip(
+                py,
+                base_y[..., None] - 1 + 1e-4,
+                base_y[..., None] + ph - 1e-4,
+            )
+            x0 = jnp.floor(ax).astype(jnp.int32)
+            y0 = jnp.floor(ay).astype(jnp.int32)
+            lx = (ax - x0).astype(jnp.float32)
+            ly = (ay - y0).astype(jnp.float32)
+            # window-relative corner indices in [-1, p]; one_hot yields
+            # zero weight outside [0, p-1], which simultaneously encodes
+            # the image border (windows are in-image) and the window edge
+            i0x = x0 - base_x[..., None]
+            i0y = y0 - base_y[..., None]
             # patch rows: [B,Q,ph,pw/2] pair fetches cover ph*pw pixels
             dy = jnp.arange(ph, dtype=jnp.int32)
             dxp = jnp.arange(pw // 2, dtype=jnp.int32) * 2
@@ -422,12 +461,16 @@ def msda_patch(
                 b, q, ph * pw, c
             )
             # separable one-hot bilinear weights over the window
-            whx = (1.0 - wx1)[..., None] * jax.nn.one_hot(
-                x0, pw, dtype=jnp.float32
-            ) + wx1[..., None] * jax.nn.one_hot(x0 + 1, pw, dtype=jnp.float32)
-            why = (1.0 - wy1)[..., None] * jax.nn.one_hot(
-                y0, ph, dtype=jnp.float32
-            ) + wy1[..., None] * jax.nn.one_hot(y0 + 1, ph, dtype=jnp.float32)
+            whx = (1.0 - lx)[..., None] * jax.nn.one_hot(
+                i0x, pw, dtype=jnp.float32
+            ) + lx[..., None] * jax.nn.one_hot(
+                i0x + 1, pw, dtype=jnp.float32
+            )
+            why = (1.0 - ly)[..., None] * jax.nn.one_hot(
+                i0y, ph, dtype=jnp.float32
+            ) + ly[..., None] * jax.nn.one_hot(
+                i0y + 1, ph, dtype=jnp.float32
+            )
             a = attw[:, :, lvl].astype(jnp.float32) * keep  # [B,Q,n]
             wpix = jnp.einsum("bqnh,bqnw->bqnhw", why, whx).reshape(
                 b, q, n, ph * pw

@@ -1,0 +1,113 @@
+"""Full-state checkpointing: params, optimizer, streaming temporal state.
+
+The reference checkpoints only model params + optimizer (mmcv
+CheckpointHook); the temporal instance-bank stream restarts cold on
+resume (SURVEY §5 gap). The explicit-state design here makes the full
+stream resumable: TemporalState, DnState, and the host's per-slot
+previous-frame pose all ride the same orbax tree, so a resumed run
+continues the exact stream the interrupted one was on.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _pack_prev_pose(prev_pose: Optional[List]) -> Dict[str, np.ndarray]:
+    """[(timestamp, lidar2global 4x4) | None] per slot -> dense arrays."""
+    n = len(prev_pose) if prev_pose else 0
+    ts = np.zeros((n,), np.float64)
+    pose = np.tile(np.eye(4, dtype=np.float64), (n, 1, 1))
+    has = np.zeros((n,), bool)
+    for i, p in enumerate(prev_pose or []):
+        if p is not None:
+            ts[i], pose[i] = p[0], p[1]
+            has[i] = True
+    return {"ts": ts, "pose": pose, "has": has}
+
+
+def _unpack_prev_pose(packed: Dict[str, np.ndarray]) -> List:
+    out: List = []
+    for i in range(len(packed["has"])):
+        out.append(
+            (float(packed["ts"][i]), np.asarray(packed["pose"][i]))
+            if packed["has"][i]
+            else None
+        )
+    return out
+
+
+def save_checkpoint(
+    path: str,
+    state,
+    temporal,
+    dn_state,
+    prev_pose: Optional[List] = None,
+) -> None:
+    import orbax.checkpoint as ocp
+
+    tree = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": int(state.step),
+        "temporal": temporal,
+        "dn_state": dn_state,
+        "prev_pose": _pack_prev_pose(prev_pose),
+    }
+    ocp.PyTreeCheckpointer().save(
+        os.path.abspath(path), jax.tree.map(np.asarray, tree), force=True
+    )
+
+
+def restore_checkpoint(
+    path: str, state, temporal, dn_state
+) -> Tuple[Any, Any, Any, Optional[List], int]:
+    """Restore into the given templates.
+
+    Returns (state, temporal, dn_state, prev_pose | None, start_iter).
+    Falls back to a params-only restore for older checkpoints.
+    """
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(path)
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": 0,
+        "temporal": temporal,
+        "dn_state": dn_state,
+        "prev_pose": _pack_prev_pose(None),
+    }
+    prev_pose = None
+    try:
+        # the prev_pose slot count may differ (it follows bs_local);
+        # restore it structurally via a second pass below
+        raw = ckptr.restore(path)
+        n_slots = len(np.atleast_1d(raw["prev_pose"]["has"]))
+        template["prev_pose"] = _pack_prev_pose([None] * n_slots)
+        loaded = ckptr.restore(path, item=template)
+        state = state.replace(
+            params=loaded["params"],
+            batch_stats=loaded["batch_stats"],
+            opt_state=loaded["opt_state"],
+            step=jnp.asarray(loaded["step"], jnp.int32),
+        )
+        temporal = loaded["temporal"]
+        dn_state = loaded["dn_state"]
+        if n_slots:
+            prev_pose = _unpack_prev_pose(loaded["prev_pose"])
+    except (KeyError, ValueError, TypeError):
+        loaded = ckptr.restore(path)
+        state = state.replace(
+            params=loaded["params"],
+            batch_stats=loaded["batch_stats"],
+            step=jnp.asarray(loaded["step"], jnp.int32),
+        )
+    return state, temporal, dn_state, prev_pose, int(state.step)

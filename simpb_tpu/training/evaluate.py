@@ -1,0 +1,145 @@
+"""In-process streaming evaluation over a sequence-aligned val shard.
+
+Shared by `tools/test.py` (standalone eval CLI) and `tools/train.py`
+(mid-training eval). The reference's mid-training eval forks a second
+process per GPU (`CustomDistEvalHook`, reference
+core/evaluation/eval_hooks.py:56-97 + apis/test.py:49-171); on TPU a
+second process would contend with the trainer for the single chip
+(CLAUDE.md: one process owns the TPU), so eval here runs in-process on
+the live params with its own jitted step.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def streaming_eval(
+    model,
+    cfg,
+    variables,
+    dataset,
+    max_frames: Optional[int] = None,
+    show_dir: Optional[str] = None,
+    show_threshold: float = 0.3,
+    progress: bool = False,
+) -> Tuple[Dict[str, float], List[dict], List[str]]:
+    """Stream one shard of `dataset` through the model and score it.
+
+    Returns (metrics, per-frame predictions in global frame, tokens).
+    The temporal instance bank threads frame-to-frame exactly like
+    deployment streaming (reference tools/test.py:127-317).
+    """
+    from ..data.nuscenes_eval import evaluate_detections
+    from ..data.postprocess import boxes_lidar_to_global
+    from ..data.sampler import sequence_eval_shards
+    from ..models.decoder3d import decode_boxes3d
+
+    def _select(out):
+        dec = decode_boxes3d(
+            out["classification"][-1],
+            out["prediction"][-1],
+            instance_id=out.get("instance_id"),
+            quality=out["quality"][-1],
+            num_output=cfg.head.num_output,
+            score_threshold=cfg.head.score_threshold,
+        )
+        return dec, out["temporal_state"]
+
+    @jax.jit
+    def cold_step(variables, img, proj):
+        return _select(model.apply(variables, img, proj, train=False))
+
+    @jax.jit
+    def stream_step(variables, img, proj, state, dt, t2c):
+        return _select(
+            model.apply(
+                variables, img, proj, temporal=state, time_interval=dt,
+                temp2cur=t2c, train=False,
+            )
+        )
+
+    shard = sequence_eval_shards(dataset, 1)[0]
+    if max_frames:
+        shard = shard[:max_frames]
+
+    preds: List[dict] = []
+    gts: List[dict] = []
+    tokens: List[str] = []
+    vis_frames: List[np.ndarray] = []
+    state = None
+    prev_ts = prev_t_global = None
+    for n, idx in enumerate(shard):
+        sample = dataset.get_sample(idx, with_points=False)
+        img = jnp.asarray(sample["img"][None])
+        proj = jnp.asarray(sample["projection_mat"][None])
+        ts = sample["timestamp"]
+        t_global = sample["lidar2global"]
+        if state is None:
+            dec, state = cold_step(variables, img, proj)
+        else:
+            dt = jnp.asarray([ts - prev_ts], jnp.float32)
+            t2c = jnp.asarray(
+                (np.linalg.inv(t_global) @ prev_t_global)[None], jnp.float32
+            )
+            dec, state = stream_step(variables, img, proj, state, dt, t2c)
+        prev_ts, prev_t_global = ts, t_global
+
+        dec = {k: np.asarray(v)[0] for k, v in dec.items()}
+        boxes_g = boxes_lidar_to_global(dec["boxes_3d"], t_global)
+        valid = dec["valid"]
+        preds.append(
+            {
+                "boxes": boxes_g[valid],
+                "scores": dec["scores_3d"][valid],
+                "labels": dec["labels_3d"][valid],
+            }
+        )
+        tokens.append(dataset.data_infos[idx]["token"])
+        gt = dataset.get_annotations(idx)
+        gboxes = gt.get("gt_bboxes_3d", np.zeros((0, 9), np.float32))
+        if len(gboxes):
+            g10 = np.zeros((len(gboxes), 10), np.float32)
+            g10[:, : gboxes.shape[1]] = gboxes
+            g10 = boxes_lidar_to_global(g10, t_global)
+        else:
+            g10 = np.zeros((0, 10), np.float32)
+        gts.append({"boxes": g10, "labels": gt["gt_labels_3d"]})
+
+        if show_dir:
+            from ..data.transforms import IMG_MEAN, IMG_STD
+            from ..data.visualize import render_frame
+
+            raw = sample["img"] * IMG_STD + IMG_MEAN
+            frame = render_frame(
+                list(raw),
+                {
+                    "boxes_3d": dec["boxes_3d"],
+                    "scores_3d": dec["scores_3d"],
+                    "labels_3d": dec["labels_3d"],
+                },
+                list(sample["projection_mat"]),
+                score_threshold=show_threshold,
+            )
+            vis_frames.append(frame[..., ::-1])  # RGB -> BGR for cv2
+
+        if progress and (n + 1) % 100 == 0:
+            print(f"{n + 1}/{len(shard)} frames", flush=True)
+
+    if show_dir and vis_frames:
+        import os
+
+        from ..data.visualize import write_video
+
+        os.makedirs(show_dir, exist_ok=True)
+        write_video(
+            vis_frames, os.path.join(show_dir, "detections.mp4")
+        )
+        print(f"wrote {len(vis_frames)}-frame video to {show_dir}")
+
+    metrics = evaluate_detections(preds, gts)
+    return metrics, preds, tokens

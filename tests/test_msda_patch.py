@@ -37,6 +37,32 @@ def test_patch_mode_exact_when_samples_fit_window():
     np.testing.assert_allclose(patch, exact, rtol=1e-5, atol=1e-5)
 
 
+def test_patch_mode_exact_at_image_borders():
+    """Samples hanging off the image edge (partial zero-pad support)
+    must match exact msda — the window sits at the border and the
+    out-of-image corner drops through the one-hot, exactly like
+    grid_sample zero padding."""
+    rng = np.random.default_rng(7)
+    total = sum(h * w for h, w in SHAPES.shapes)
+    b, q, heads, p, c = 2, 6, 4, 3, 32
+    L = len(SHAPES.shapes)
+    value = jnp.asarray(rng.normal(size=(b, total, c)).astype(np.float32))
+    # cluster each query's samples around a point near a border (all
+    # four borders exercised), straddling in/out of the image
+    centers = np.array(
+        [[0.004, 0.5], [0.996, 0.5], [0.5, 0.01], [0.5, 0.99],
+         [0.003, 0.02], [0.998, 0.985]]
+    )[None, :q, None, None, None, :]
+    jitter = rng.uniform(-0.012, 0.012, (b, q, heads, L, p, 2))
+    loc = jnp.asarray((centers + jitter).astype(np.float32))
+    w = rng.uniform(size=(b, q, heads, L, p)).astype(np.float32)
+    w /= w.sum((-1, -2), keepdims=True)
+    w = jnp.asarray(w)
+    exact = np.asarray(msda(value, SHAPES, loc, w))
+    patch = np.asarray(msda_patch(value, SHAPES, loc, w))
+    np.testing.assert_allclose(patch, exact, rtol=1e-4, atol=1e-5)
+
+
 def test_patch_mode_clamps_far_offsets_finite():
     value, loc, w = make_inputs(1, spread=0.6)  # many samples outside
     patch = np.asarray(msda_patch(value, SHAPES, loc, w))

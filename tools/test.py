@@ -63,15 +63,9 @@ def main():
         simpb_tiny,
     )
     from simpb_tpu.data.dataset import NuScenesDataset
-    from simpb_tpu.data.nuscenes_eval import evaluate_detections
-    from simpb_tpu.data.postprocess import (
-        boxes_lidar_to_global,
-        format_nuscenes_submission,
-    )
-    from simpb_tpu.data.sampler import sequence_eval_shards
-    from simpb_tpu.models.decoder3d import decode_boxes3d
+    from simpb_tpu.data.postprocess import format_nuscenes_submission
     from simpb_tpu.models.detector import SimPB
-    
+    from simpb_tpu.training.evaluate import streaming_eval
 
     cfg = {"r50": simpb_r50_704x256, "r101": simpb_r101_1408x512,
            "tiny": simpb_tiny}[args.config]()
@@ -130,107 +124,16 @@ def main():
         variables["params"] = loaded["params"]
         variables["batch_stats"] = loaded["batch_stats"]
 
-    @jax.jit
-    def cold_step(variables, img, proj):
-        out = model.apply(variables, img, proj, train=False)
-        return _select(out)
-
-    @jax.jit
-    def stream_step(variables, img, proj, state, dt, t2c):
-        out = model.apply(
-            variables, img, proj, temporal=state, time_interval=dt,
-            temp2cur=t2c, train=False,
-        )
-        return _select(out)
-
-    def _select(out):
-        dec = decode_boxes3d(
-            out["classification"][-1],
-            out["prediction"][-1],
-            instance_id=out.get("instance_id"),
-            quality=out["quality"][-1],
-            num_output=cfg.head.num_output,
-            score_threshold=cfg.head.score_threshold,
-        )
-        return dec, out["temporal_state"]
-
-    shard = sequence_eval_shards(dataset, 1)[0]
-    if args.max_frames:
-        shard = shard[: args.max_frames]
-
-    preds, gts, tokens = [], [], []
-    vis_frames = []
-    state = None
-    prev_ts = None
-    prev_t_global = None
-    for n, idx in enumerate(shard):
-        sample = dataset.get_sample(idx, with_points=False)
-        img = jnp.asarray(sample["img"][None])
-        proj = jnp.asarray(sample["projection_mat"][None])
-        ts = sample["timestamp"]
-        t_global = sample["lidar2global"]
-        if state is None:
-            dec, state = cold_step(variables, img, proj)
-        else:
-            dt = jnp.asarray([ts - prev_ts], jnp.float32)
-            t2c = jnp.asarray(
-                (np.linalg.inv(t_global) @ prev_t_global)[None], jnp.float32
-            )
-            dec, state = stream_step(variables, img, proj, state, dt, t2c)
-        prev_ts, prev_t_global = ts, t_global
-
-        dec = {k: np.asarray(v)[0] for k, v in dec.items()}
-        boxes_g = boxes_lidar_to_global(dec["boxes_3d"], t_global)
-        valid = dec["valid"]
-        preds.append(
-            {
-                "boxes": boxes_g[valid],
-                "scores": dec["scores_3d"][valid],
-                "labels": dec["labels_3d"][valid],
-            }
-        )
-        info = dataset.data_infos[idx]
-        tokens.append(info["token"])
-        gt = dataset.get_annotations(idx)
-        gboxes = gt.get("gt_bboxes_3d", np.zeros((0, 9), np.float32))
-        if len(gboxes):
-            g10 = np.zeros((len(gboxes), 10), np.float32)
-            g10[:, : gboxes.shape[1]] = gboxes
-            g10 = boxes_lidar_to_global(g10, t_global)
-        else:
-            g10 = np.zeros((0, 10), np.float32)
-        gts.append({"boxes": g10, "labels": gt["gt_labels_3d"]})
-
-        if args.show_dir:
-            from simpb_tpu.data.transforms import IMG_MEAN, IMG_STD
-            from simpb_tpu.data.visualize import render_frame, write_video
-
-            raw = sample["img"] * IMG_STD + IMG_MEAN
-            frame = render_frame(
-                list(raw),
-                {
-                    "boxes_3d": dec["boxes_3d"],
-                    "scores_3d": dec["scores_3d"],
-                    "labels_3d": dec["labels_3d"],
-                },
-                list(sample["projection_mat"]),
-                score_threshold=args.show_threshold,
-            )
-            vis_frames.append(frame[..., ::-1])  # RGB -> BGR for cv2
-
-        if (n + 1) % 100 == 0:
-            print(f"{n + 1}/{len(shard)} frames", flush=True)
-
-    if args.show_dir and vis_frames:
-        from simpb_tpu.data.visualize import write_video
-
-        os.makedirs(args.show_dir, exist_ok=True)
-        write_video(
-            vis_frames, os.path.join(args.show_dir, "detections.mp4")
-        )
-        print(f"wrote {len(vis_frames)}-frame video to {args.show_dir}")
-
-    metrics = evaluate_detections(preds, gts)
+    metrics, preds, tokens = streaming_eval(
+        model,
+        cfg,
+        variables,
+        dataset,
+        max_frames=args.max_frames,
+        show_dir=args.show_dir,
+        show_threshold=args.show_threshold,
+        progress=True,
+    )
     # NaN marks classes absent from the eval split; emit null so the
     # output stays strict JSON
     print(json.dumps(
