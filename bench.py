@@ -2,129 +2,52 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target: >= 50 six-camera frames/sec/chip on TPU v5e
-(BASELINE.md; the reference publishes no fps number — tools/benchmark.py
-is its measurement harness, which this replaces).
+(BASELINE.md; the reference publishes no fps number — its
+tools/benchmark.py is a measurement harness, mirrored here by
+tools/benchmark.py + simpb_tpu/utils/benchmark.py).
 
-Methodology: the streaming loop runs ON DEVICE via `lax.scan` over a
-window of frames with the temporal instance-bank state as the scan
-carry — one XLA dispatch for the whole window, so host<->device command
-latency (large through the axon tunnel) amortises away and the number
-reflects device throughput of the full per-frame pipeline
-(backbone + FPN + packed features + interleaved 2D/3D decoder + state
-update).
+Default configuration: `simpb_r50_704x256_fast` — the flagship serving
+config (windowed 2D cross-attn + evidence-backed gather capacities; the
+semantics of each knob are documented in configs/base.py and PERF.md,
+and bounded by tests/test_msda_patch*.py + tools/capacity_study.py).
+`SIMPB_EXACT=1` benches the exact-sampling parity config instead.
 """
+import dataclasses
 import json
 import os
-import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from simpb_tpu.configs.base import simpb_r50_704x256
-from simpb_tpu.models.detector import SimPB
-from simpb_tpu.models.instance_bank import TemporalState
-from simpb_tpu.utils.synthetic import (
-    install_synthetic_anchors,
-    synthetic_rig,
+from simpb_tpu.configs.base import (
+    simpb_r50_704x256,
+    simpb_r50_704x256_fast,
 )
+from simpb_tpu.utils.benchmark import run_benchmark
 
 BASELINE_FPS = 50.0
-WINDOW = 32
 
 
 def main():
-    import dataclasses
-
-    cfg = dataclasses.replace(
-        simpb_r50_704x256(), compute_dtype="bfloat16", head_dtype="bfloat16"
+    base = (
+        simpb_r50_704x256()
+        if os.environ.get("SIMPB_EXACT")
+        else simpb_r50_704x256_fast()
     )
+    cfg = dataclasses.replace(
+        base, compute_dtype="bfloat16", head_dtype="bfloat16"
+    )
+    head = cfg.head
     if os.environ.get("SIMPB_MSDA_PATCH"):
-        # approximate fast sampling path (PERF.md lever #1); default off
-        # so the reported number reflects exact reference semantics
-        cfg = dataclasses.replace(
-            cfg, head=dataclasses.replace(cfg.head, msda_patch_mode=True)
-        )
+        head = dataclasses.replace(head, msda_patch_mode=True)
     if os.environ.get("SIMPB_DFA_CAP"):
-        # gather-capacity sweep knob (PERF.md lever #3)
-        cfg = dataclasses.replace(
-            cfg,
-            head=dataclasses.replace(
-                cfg.head,
-                dfa_gather_capacity=int(os.environ["SIMPB_DFA_CAP"]),
-            ),
+        head = dataclasses.replace(
+            head, dfa_gather_capacity=int(os.environ["SIMPB_DFA_CAP"])
         )
     if os.environ.get("SIMPB_MSDA_CAP"):
-        # MSDA valid-slot compaction sweep knob
-        cfg = dataclasses.replace(
-            cfg,
-            head=dataclasses.replace(
-                cfg.head,
-                msda_gather_capacity=int(os.environ["SIMPB_MSDA_CAP"]),
-            ),
+        head = dataclasses.replace(
+            head, msda_gather_capacity=int(os.environ["SIMPB_MSDA_CAP"])
         )
-    model = SimPB(cfg)
-    bs, cams = 1, cfg.head.num_cams
-    w, h = cfg.input_size
+    cfg = dataclasses.replace(cfg, head=head)
 
-    rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.normal(size=(bs, cams, h, w, 3)).astype(np.float32))
-    imgs = jnp.asarray(
-        rng.normal(size=(WINDOW, bs, cams, h, w, 3)).astype(np.float32)
-    )
-    # realistic 6-camera surround rig + k-means-like anchors so the
-    # allocation / compaction / decode paths see production-like
-    # visibility patterns (round-1 used identity projections, which made
-    # capacity tuning meaningless)
-    proj = jnp.asarray(synthetic_rig(bs, image_wh=(w, h)))
-    variables = jax.jit(
-        lambda: model.init(
-            {
-                "params": jax.random.PRNGKey(0),
-                "aug": jax.random.PRNGKey(1),
-                "dropout": jax.random.PRNGKey(2),
-                "sampling": jax.random.PRNGKey(3),
-            },
-            img,
-            proj,
-            train=False,
-        )
-    )()
-    variables = install_synthetic_anchors(variables, cfg.head.num_anchor)
-
-    state = TemporalState.init(
-        bs, cfg.head.num_temp_instances, cfg.head.num_anchor,
-        cfg.head.embed_dims,
-    )
-    dt = jnp.full((bs,), 0.5)
-    t2c = jnp.tile(jnp.eye(4)[None], (bs, 1, 1))
-
-    @jax.jit
-    def rollout(variables, imgs, proj, state, dt, t2c):
-        def body(carry, frame):
-            out = model.apply(
-                variables, frame, proj, temporal=carry, time_interval=dt,
-                temp2cur=t2c, train=False,
-            )
-            score = out["classification"][-1].max()
-            return out["temporal_state"], score
-
-        final_state, scores = jax.lax.scan(body, state, imgs)
-        return final_state, scores
-
-    # compile + warm (fetching values is the only reliable sync through
-    # the axon tunnel; block_until_ready can return early there)
-    final_state, scores = rollout(variables, imgs, proj, state, dt, t2c)
-    np.asarray(scores)
-
-    t0 = time.perf_counter()
-    final_state, scores = rollout(
-        variables, imgs, proj, final_state, dt, t2c
-    )
-    np.asarray(scores)
-    elapsed = time.perf_counter() - t0
-    fps = WINDOW * bs / elapsed
-
+    fps = run_benchmark(cfg, window=32, batch_size=1)
     print(
         json.dumps(
             {

@@ -411,10 +411,15 @@ class SimPBHead(nn.Module):
                 )
             elif op == "temp_gnn":
                 if temp_instance_feature is None:
+                    # cold start: the reference passes key=value=None, so
+                    # the mmcv MHA falls back to value = key = the
+                    # decoupled concat(query, pos) WITHOUT fc_before
+                    # (simpb_head.py:298-310 + mmcv MultiheadAttention
+                    # None-defaulting) — do the same here
                     instance_feature = self.graph_model(
                         layer,
                         instance_feature,
-                        value=instance_feature,
+                        value=None,
                         query_pos=anchor_embed,
                         attn_mask=attn_mask,
                         deterministic=deterministic,

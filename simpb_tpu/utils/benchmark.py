@@ -1,0 +1,78 @@
+"""Shared streaming-throughput measurement core.
+
+Methodology (see repo-root bench.py docstring): the whole frame window
+runs ON DEVICE via `lax.scan` with the temporal state as carry — one
+dispatch, so the axon tunnel's per-call RTT amortises away and the
+number reflects device throughput of the full per-frame pipeline.
+Inputs vary per frame (unchanged inputs are served from a tunnel cache
+— CLAUDE.md), and sync is via value fetch (`np.asarray`), the only
+reliable barrier through the tunnel.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.detector import SimPB
+from ..models.instance_bank import TemporalState
+from .synthetic import install_synthetic_anchors, synthetic_rig
+
+
+def run_benchmark(cfg, window: int = 32, batch_size: int = 1) -> float:
+    """Returns six-camera frames/sec/chip for `cfg`."""
+    model = SimPB(cfg)
+    bs, cams = batch_size, cfg.head.num_cams
+    w, h = cfg.input_size
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(bs, cams, h, w, 3)).astype(np.float32))
+    imgs = jnp.asarray(
+        rng.normal(size=(window, bs, cams, h, w, 3)).astype(np.float32)
+    )
+    proj = jnp.asarray(synthetic_rig(bs, image_wh=(w, h)))
+    variables = jax.jit(
+        lambda: model.init(
+            {
+                "params": jax.random.PRNGKey(0),
+                "aug": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2),
+                "sampling": jax.random.PRNGKey(3),
+            },
+            img,
+            proj,
+            train=False,
+        )
+    )()
+    variables = install_synthetic_anchors(variables, cfg.head.num_anchor)
+
+    state = TemporalState.init(
+        bs, cfg.head.num_temp_instances, cfg.head.num_anchor,
+        cfg.head.embed_dims,
+    )
+    dt = jnp.full((bs,), 0.5)
+    t2c = jnp.tile(jnp.eye(4)[None], (bs, 1, 1))
+
+    @jax.jit
+    def rollout(variables, imgs, proj, state, dt, t2c):
+        def body(carry, frame):
+            out = model.apply(
+                variables, frame, proj, temporal=carry, time_interval=dt,
+                temp2cur=t2c, train=False,
+            )
+            return out["temporal_state"], out["classification"][-1].max()
+
+        return jax.lax.scan(body, state, imgs)
+
+    final_state, scores = rollout(variables, imgs, proj, state, dt, t2c)
+    np.asarray(scores)  # compile + warm; value fetch is the only sync
+
+    t0 = time.perf_counter()
+    final_state, scores = rollout(
+        variables, imgs, proj, final_state, dt, t2c
+    )
+    np.asarray(scores)
+    elapsed = time.perf_counter() - t0
+    return window * bs / elapsed

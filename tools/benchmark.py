@@ -1,17 +1,93 @@
 #!/usr/bin/env python
-"""Inference throughput benchmark (reference tools/benchmark.py parity).
+"""Inference throughput benchmark CLI (reference tools/benchmark.py
+parity — the reference measures fps + peak CUDA memory over repeated
+single-sample forwards, tools/benchmark.py:100-113; here the streaming
+window runs on-device, see simpb_tpu/utils/benchmark.py).
 
-Thin alias of the repo-root `bench.py` (the driver's canonical entry),
-kept under tools/ to mirror the reference tool layout.
+Usage:
+  python tools/benchmark.py [--config r50|r50-fast|r101|tiny]
+      [--exact | --patch] [--dfa-cap N] [--msda-cap N]
+      [--batch-size N] [--frames N] [--fp32]
 """
+import argparse
+import dataclasses
+import json
 import os
-import runpy
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-if __name__ == "__main__":
-    runpy.run_path(
-        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
-        run_name="__main__",
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="r50-fast",
+                   choices=["r50", "r50-fast", "r101", "tiny"])
+    p.add_argument("--exact", action="store_true",
+                   help="force exact MSDA sampling (windowed off)")
+    p.add_argument("--patch", action="store_true",
+                   help="force windowed (patch-mode) MSDA sampling")
+    p.add_argument("--dfa-cap", type=int, default=None,
+                   help="override dfa_gather_capacity (0 = uncapped)")
+    p.add_argument("--msda-cap", type=int, default=None,
+                   help="override msda_gather_capacity (0 = uncapped)")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="concurrent temporal streams per chip")
+    p.add_argument("--frames", type=int, default=32,
+                   help="frames per stream in the timed window")
+    p.add_argument("--fp32", action="store_true",
+                   help="disable the bf16 trunk/head (default bf16)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from simpb_tpu.configs.base import (
+        simpb_r50_704x256,
+        simpb_r50_704x256_fast,
+        simpb_r101_1408x512,
+        simpb_tiny,
     )
+    from simpb_tpu.utils.benchmark import run_benchmark
+
+    cfg = {
+        "r50": simpb_r50_704x256,
+        "r50-fast": simpb_r50_704x256_fast,
+        "r101": simpb_r101_1408x512,
+        "tiny": simpb_tiny,
+    }[args.config]()
+    if not args.fp32:
+        cfg = dataclasses.replace(
+            cfg, compute_dtype="bfloat16", head_dtype="bfloat16"
+        )
+    head = cfg.head
+    if args.exact:
+        head = dataclasses.replace(head, msda_patch_mode=False)
+    if args.patch:
+        head = dataclasses.replace(head, msda_patch_mode=True)
+    if args.dfa_cap is not None:
+        head = dataclasses.replace(
+            head, dfa_gather_capacity=args.dfa_cap or None
+        )
+    if args.msda_cap is not None:
+        head = dataclasses.replace(
+            head, msda_gather_capacity=args.msda_cap or None
+        )
+    cfg = dataclasses.replace(cfg, head=head)
+
+    fps = run_benchmark(cfg, window=args.frames, batch_size=args.batch_size)
+    print(
+        json.dumps(
+            {
+                "config": args.config,
+                "msda_patch_mode": cfg.head.msda_patch_mode,
+                "dfa_gather_capacity": cfg.head.dfa_gather_capacity,
+                "msda_gather_capacity": cfg.head.msda_gather_capacity,
+                "batch_size": args.batch_size,
+                "six_cam_fps_per_chip": round(fps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
