@@ -6,13 +6,19 @@ framework's runtime deps, so the official metric definitions are
 implemented here directly (host-side numpy):
 
 * per-class, per-distance-threshold (0.5/1/2/4 m BEV center distance)
-  greedy matching by descending score;
-* AP = normalised area of the precision-recall curve above
-  recall 0.1 / precision 0.1, 101-point interpolation;
-* TP errors (ATE, ASE, AOE, AVE, AAE) averaged over matches of the
-  2.0 m threshold above recall 0.1, cumulative-mean interpolated onto
-  the recall grid;
+  greedy matching by descending score (devkit algo.py `accumulate`);
+* 101-point recall-grid interpolation of precision / confidence /
+  cumulative-mean TP errors (errors interpolated via the confidence
+  values, exactly like the devkit);
+* AP = mean of (precision - 0.1)+ over grid indices 11..100 / 0.9
+  (devkit `calc_ap`);
+* TP errors (ATE, ASE, AOE, AVE, AAE) = mean over grid indices
+  11..max_recall_ind (devkit `calc_tp`); 1.0 below min recall;
 * NDS = (5*mAP + sum over TP metrics of (1 - min(1, err))) / 10.
+
+Cross-checked against an independent brute-force implementation of the
+published definition in tests/test_nuscenes_eval_oracle.py (the devkit
+itself is not installable in this environment).
 
 Class conventions follow the devkit: barrier has period-pi orientation,
 traffic_cone skips AOE/AVE/AAE, barrier skips AVE/AAE.
@@ -131,49 +137,74 @@ def accumulate_class(
     }
 
 
-def _average_precision(acc) -> float:
+def metric_data(acc) -> Optional[Dict[str, np.ndarray]]:
+    """Devkit `DetectionMetricData`: precision / confidence / cumulative-
+    mean TP errors interpolated onto the 101-point recall grid
+    (devkit eval/detection/algo.py `accumulate`).
+
+    Returns None when the class has no GT (excluded from means).
+    """
     if acc["num_gt"] == 0:
-        return float("nan")  # class absent from GT: excluded from the mean
-    if len(acc["scores"]) == 0:
-        return 0.0
+        return None
+    grid = np.linspace(0, 1, 101)
+    n_pred = len(acc["scores"])
+    md = {
+        "precision": np.zeros(101),
+        "confidence": np.zeros(101),
+    }
+    err_keys = ("trans", "scale", "orient", "vel", "attr")
+    if n_pred == 0 or acc["tp"].sum() == 0:
+        # devkit MetricData.no_predictions: zero precision, unit errors
+        for k in err_keys:
+            md[k] = np.ones(101)
+        return md
     order = np.argsort(-acc["scores"], kind="stable")
     tp = np.cumsum(acc["tp"][order])
     fp = np.cumsum(acc["fp"][order])
+    conf = acc["scores"][order]
     recall = tp / acc["num_gt"]
-    precision = tp / np.maximum(tp + fp, 1e-9)
-    # 101-point interpolation (devkit: np.interp on recall grid)
-    grid = np.linspace(0, 1, 101)
-    prec_i = np.interp(grid, recall, precision, right=0)
-    prec_i = np.maximum(prec_i - MIN_PRECISION, 0.0)
-    prec_i[grid < MIN_RECALL] = 0.0
-    return float(prec_i.sum() / (101 * (1 - MIN_RECALL - MIN_PRECISION)))
+    precision = tp / (tp + fp)
+    md["precision"] = np.interp(grid, recall, precision, right=0)
+    md["confidence"] = np.interp(grid, recall, conf, right=0)
+    # cumulative-mean errors over matches (score-desc), interpolated by
+    # CONFIDENCE (devkit interpolates error-vs-match-conf at the grid's
+    # confidence values, not directly on recall)
+    match_mask = acc["tp"] > 0
+    match_conf = acc["scores"][match_mask]
+    eorder = np.argsort(-match_conf, kind="stable")
+    match_conf = match_conf[eorder]
+    for k in err_keys:
+        errs = acc[k][eorder]
+        cum_mean = np.cumsum(errs) / np.arange(1, len(errs) + 1)
+        md[k] = np.interp(
+            md["confidence"][::-1], match_conf[::-1], cum_mean[::-1]
+        )[::-1]
+    return md
 
 
-def _tp_error(acc, key) -> float:
-    """Cumulative-mean TP error above min recall (devkit calc_tp)."""
-    if acc["num_gt"] == 0 or acc[key].size == 0:
+def _average_precision(md) -> float:
+    """Devkit calc_ap: mean of (precision - 0.1)+ over recall grid
+    indices 11..100, normalised by (1 - min_precision)."""
+    if md is None:
         return float("nan")
-    order = np.argsort(-acc["scores"], kind="stable")
-    tp_sorted = acc["tp"][order]
-    match_idx = np.where(tp_sorted > 0)[0]
-    if match_idx.size == 0:
+    prec = np.copy(md["precision"])[round(100 * MIN_RECALL) + 1 :]
+    prec -= MIN_PRECISION
+    prec[prec < 0] = 0
+    return float(np.mean(prec)) / (1.0 - MIN_PRECISION)
+
+
+def _tp_error(md, key) -> float:
+    """Devkit calc_tp: mean error over grid indices 11..max_recall_ind
+    (the last grid point with nonzero confidence); 1.0 when the class
+    achieves less than min recall."""
+    if md is None:
+        return float("nan")
+    nz = np.nonzero(md["confidence"])[0]
+    max_recall_ind = int(nz[-1]) if nz.size else 0
+    first_ind = round(100 * MIN_RECALL) + 1
+    if max_recall_ind < first_ind:
         return 1.0
-    errs = acc[key]  # already in match (score-desc per sample) order
-    # re-sort errors globally by score: rebuild via matches
-    # acc[key] entries were appended in per-sample score order; rebuild
-    # a global score-ordered error list
-    match_scores = acc["scores"][acc["tp"] > 0]
-    eorder = np.argsort(-match_scores, kind="stable")
-    errs = errs[eorder]
-    cum_mean = np.cumsum(errs) / np.arange(1, len(errs) + 1)
-    recall_at_match = np.cumsum(tp_sorted)[match_idx] / acc["num_gt"]
-    grid = np.linspace(MIN_RECALL, 1, 91)
-    vals = np.interp(grid, recall_at_match, cum_mean, right=cum_mean[-1])
-    # devkit: errors past max achieved recall take value 1 implicitly via
-    # conf-threshold cut; approximate by clamping the grid
-    max_recall = recall_at_match[-1]
-    vals = np.where(grid <= max_recall + 1e-9, vals, cum_mean[-1])
-    return float(vals.mean())
+    return float(np.mean(md[key][first_ind : max_recall_ind + 1]))
 
 
 def evaluate_detections(
@@ -189,22 +220,23 @@ def evaluate_detections(
         cls_aps = []
         for th in DIST_THRESHOLDS:
             acc = accumulate_class(preds, gts, cls, th)
-            cls_aps.append(_average_precision(acc))
+            md = metric_data(acc)
+            cls_aps.append(_average_precision(md))
             if th == TP_THRESHOLD:
-                tp_errs["trans"][cls] = _tp_error(acc, "trans")
-                tp_errs["scale"][cls] = _tp_error(acc, "scale")
+                tp_errs["trans"][cls] = _tp_error(md, "trans")
+                tp_errs["scale"][cls] = _tp_error(md, "scale")
                 tp_errs["orient"][cls] = (
-                    _tp_error(acc, "orient")
+                    _tp_error(md, "orient")
                     if cls in ORIENT_CLASSES
                     else float("nan")
                 )
                 tp_errs["vel"][cls] = (
-                    _tp_error(acc, "vel")
+                    _tp_error(md, "vel")
                     if cls in VEL_CLASSES
                     else float("nan")
                 )
                 tp_errs["attr"][cls] = (
-                    _tp_error(acc, "attr")
+                    _tp_error(md, "attr")
                     if cls in ATTR_CLASSES
                     else float("nan")
                 )

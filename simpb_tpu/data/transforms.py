@@ -119,39 +119,71 @@ def filter_occluded(bboxes, depths, fh, fw):
     return order[visible_ranks]
 
 
+def rgb_to_hsv(x: np.ndarray) -> np.ndarray:
+    """Float RGB -> HSV with cv2's float32 conventions: H in [0, 360),
+    S = diff/|V| (unclamped), V = max channel. Matches mmcv.bgr2hsv on
+    the reference's BGR arrays (channel-order symmetric)."""
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    v = np.max(x, axis=-1)
+    mn = np.min(x, axis=-1)
+    diff = v - mn
+    s = diff / (np.abs(v) + np.finfo(np.float32).eps)
+    dd = diff + np.finfo(np.float32).eps
+    h = np.where(
+        v == r,
+        60.0 * (g - b) / dd,
+        np.where(
+            v == g, 120.0 + 60.0 * (b - r) / dd, 240.0 + 60.0 * (r - g) / dd
+        ),
+    )
+    h = np.where(h < 0, h + 360.0, h)
+    return np.stack([h, s, v], axis=-1).astype(np.float32)
+
+
+def hsv_to_rgb(x: np.ndarray) -> np.ndarray:
+    """Inverse of `rgb_to_hsv` (cv2 float sector algorithm; S/V are not
+    clamped, matching cv2's float path)."""
+    h, s, v = x[..., 0], x[..., 1], x[..., 2]
+    hp = (h / 60.0) % 6.0
+    i = np.floor(hp)
+    f = hp - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(np.int32) % 6
+    r = np.choose(i, [v, q, p, p, t, v])
+    g = np.choose(i, [t, v, v, q, p, p])
+    b = np.choose(i, [p, p, t, v, v, q])
+    return np.stack([r, g, b], axis=-1).astype(np.float32)
+
+
 def photometric_distortion(
     rng: np.random.Generator, imgs: List[np.ndarray]
 ) -> List[np.ndarray]:
-    """Brightness / contrast / saturation / hue jitter, shared params per
-    frame (reference pipelines/augment.py:309-413 semantics)."""
+    """Exact reference photometric pipeline
+    (pipelines/augment.py:309-413): per-IMAGE independent draws of
+    brightness -> (contrast mode 0|1) -> HSV saturation -> HSV hue ->
+    contrast -> random channel swap, each applied with p=0.5."""
     out = []
-    brightness = rng.uniform(-32, 32) if rng.integers(2) else 0.0
-    contrast_first = bool(rng.integers(2))
-    contrast = rng.uniform(0.5, 1.5) if rng.integers(2) else 1.0
-    saturation = rng.uniform(0.5, 1.5) if rng.integers(2) else 1.0
-    hue = rng.uniform(-18, 18) if rng.integers(2) else 0.0
     for img in imgs:
-        x = img.astype(np.float32) + brightness
-        if contrast_first:
-            x = x * contrast
-        # HSV-ish saturation/hue on RGB approximation via luma mix
-        if saturation != 1.0:
-            gray = x.mean(-1, keepdims=True)
-            x = gray + (x - gray) * saturation
-        if hue != 0.0:
-            # cheap hue shift: rotate RG channels slightly
-            t = np.deg2rad(hue)
-            r, g, b = x[..., 0], x[..., 1], x[..., 2]
-            x = np.stack(
-                [
-                    r * np.cos(t) - g * np.sin(t) * 0.5,
-                    g * np.cos(t) + r * np.sin(t) * 0.5,
-                    b,
-                ],
-                axis=-1,
-            )
-        if not contrast_first:
-            x = x * contrast
+        x = img.astype(np.float32)
+        if rng.integers(2):
+            x = x + rng.uniform(-32, 32)
+        mode = rng.integers(2)
+        if mode == 1 and rng.integers(2):
+            x = x * rng.uniform(0.5, 1.5)
+        hsv = rgb_to_hsv(x)
+        if rng.integers(2):
+            hsv[..., 1] *= rng.uniform(0.5, 1.5)
+        if rng.integers(2):
+            hsv[..., 0] += rng.uniform(-18, 18)
+            hsv[..., 0][hsv[..., 0] > 360] -= 360
+            hsv[..., 0][hsv[..., 0] < 0] += 360
+        x = hsv_to_rgb(hsv)
+        if mode == 0 and rng.integers(2):
+            x = x * rng.uniform(0.5, 1.5)
+        if rng.integers(2):
+            x = x[..., rng.permutation(3)]
         out.append(x)
     return out
 

@@ -149,3 +149,52 @@ def test_jit_streaming_step(model_and_vars):
     t2c = jnp.tile(jnp.eye(4)[None], (BS, 1, 1))
     out = step(variables, img, proj, state, dt, t2c)
     assert np.all(np.isfinite(np.asarray(out["prediction"][-1])))
+
+
+def test_fast_path_forward_close_to_exact(model_and_vars):
+    """The serving fast path (windowed MSDA + MSDA/DFA gather caps, cf.
+    simpb_r50_704x256_fast) must run end-to-end and, at capacities that
+    cover the demand, its compaction legs must be EXACT — only the
+    window clamp may perturb outputs."""
+    cfg, model, variables, img, proj = model_and_vars
+    head = dataclasses.replace(
+        cfg.head,
+        msda_patch_mode=True,
+        # tiny config: 8 slots/cam, 32 anchors x 13 pts = 416 slots/cam
+        msda_gather_capacity=8,   # == capacity: cap covers everything
+        dfa_gather_capacity=256,
+    )
+    fast_cfg = dataclasses.replace(cfg, head=head)
+    fast = SimPB(fast_cfg)
+    out_exact = model.apply(variables, img, proj, train=False)
+    out_fast = fast.apply(variables, img, proj, train=False)
+    pe = np.asarray(out_exact["prediction"][-1])
+    pf = np.asarray(out_fast["prediction"][-1])
+    assert np.isfinite(pf).all()
+    # same program shape; outputs finite and in the same ballpark (the
+    # window clamp is the only semantic difference)
+    assert pe.shape == pf.shape
+    ce = np.asarray(out_exact["classification"][-1])
+    cf = np.asarray(out_fast["classification"][-1])
+    assert np.isfinite(cf).all()
+    assert np.corrcoef(ce.ravel(), cf.ravel())[0, 1] > 0.9
+
+
+def test_msda_cap_only_is_exact(model_and_vars):
+    """MSDA valid-slot compaction alone (exact msda, cap == slot count)
+    must be bit-identical on all valid-slot-dependent outputs."""
+    cfg, model, variables, img, proj = model_and_vars
+    head = dataclasses.replace(cfg.head, msda_gather_capacity=8)
+    capped = SimPB(dataclasses.replace(cfg, head=head))
+    out_a = model.apply(variables, img, proj, train=False)
+    out_b = capped.apply(variables, img, proj, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_a["prediction"][-1]),
+        np.asarray(out_b["prediction"][-1]),
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_a["classification"][-1]),
+        np.asarray(out_b["classification"][-1]),
+        atol=1e-5, rtol=1e-5,
+    )
