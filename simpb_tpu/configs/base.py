@@ -83,6 +83,13 @@ class HeadConfig:
     cls_threshold_to_reg: float = 0.05
     # allocation DN capacity per camera
     dn_allocation_capacity: int = 128
+    # optional deformable-DETR feature encoder (the reference's
+    # `encoder2d` hook, disabled in every released config —
+    # reference config:145 `encoder2d=None`). 0 = off.
+    encoder2d_layers: int = 0
+    # feed the encoder-refined memory back into the 3D path too
+    # (reference simpb_head.py:415-417)
+    share_encoder2d: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -174,6 +181,27 @@ def simpb_r101_1408x512() -> ModelConfig:
     return ModelConfig(
         backbone_depth=101,
         input_size=(1408, 512),
+    )
+
+
+def simpb_r101_1408x512_fast() -> ModelConfig:
+    """R101/1408x512 with the serving fast path.
+
+    The gather-capacity/window levers count SLOTS and KEYPOINTS, not
+    pixels (PERF.md), so the evidence-backed values from
+    `simpb_r50_704x256_fast` transfer unchanged: valid 2D slots per
+    camera are bounded by `allocation_capacity` (resolution-independent)
+    and in-range keypoint demand depends on anchor/rig geometry only.
+    """
+    head = HeadConfig(
+        msda_patch_mode=True,
+        msda_gather_capacity=208,
+        dfa_gather_capacity=2048,
+    )
+    return ModelConfig(
+        backbone_depth=101,
+        input_size=(1408, 512),
+        head=head,
     )
 
 

@@ -35,6 +35,7 @@ from .allocation import Allocation, allocate_queries, dispatch_to_2d
 from .det2d_blocks import SparseBox2DEncoder, SparseBox2DRefinementModule
 from .det3d_blocks import SparseBox3DEncoder, SparseBox3DRefinementModule
 from .dfa import DeformableFeatureAggregation
+from .encoder2d import DeformableEncoder2D
 from .group_attn import QueryGroupMSDA, QueryGroupSelfAttention
 from .instance_bank import InstanceBank, TemporalState
 from .layers import AsymmetricFFN, ResidualAttention
@@ -95,6 +96,19 @@ class SimPBHead(nn.Module):
         self.anchor_encoder2d = SparseBox2DEncoder(
             embed_dims=e, dtype=self.dtype
         )
+        # optional deformable-DETR feature encoder (the reference's
+        # encoder2d hook, simpb_head.py:214-276; off in released configs)
+        if c.encoder2d_layers:
+            self.encoder2d = DeformableEncoder2D(
+                embed_dims=e,
+                num_heads=c.num_groups,
+                num_levels=c.num_levels,
+                num_layers=c.encoder2d_layers,
+                feedforward_channels=e * 4,
+                dropout=c.drop_out,
+                dtype=self.dtype,
+                name="encoder2d",
+            )
 
         dense = lambda f, name: nn.Dense(
             f, use_bias=False, dtype=self.dtype, name=name
@@ -319,6 +333,17 @@ class SimPBHead(nn.Module):
         anchor2d = anchor_embed2d = None
         feat2d = None  # instance features while in the 2D branch
 
+        # optional encoder2d: the 2D cross-attention samples the refined
+        # memory; share_encoder2d also feeds it to the 3D DFA path
+        # (reference simpb_head.py:414-417)
+        memory2d = col_feats
+        if c.encoder2d_layers:
+            memory2d = self.encoder2d(
+                col_feats, spatial_shapes, deterministic=deterministic
+            )
+            if c.share_encoder2d:
+                col_feats = memory2d
+
         for i, op in enumerate(c.operation_order):
             layer = self.layers[i]
             if op == "norm":
@@ -376,7 +401,7 @@ class SimPBHead(nn.Module):
                 )
             elif op == "qg_cross_attn":
                 feat2d = self._qg_cross_attn(
-                    layer, feat2d, anchor_embed2d, alloc, dn2d, col_feats,
+                    layer, feat2d, anchor_embed2d, alloc, dn2d, memory2d,
                     spatial_shapes, deterministic,
                 )
             elif op == "refine2d":
