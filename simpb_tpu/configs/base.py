@@ -60,6 +60,9 @@ class HeadConfig:
     # compaction; exact while per-camera valid allocations fit — see
     # models/group_attn.py). None gathers every slot.
     msda_gather_capacity: Optional[int] = None
+    # per-query top-k level selection in patch-mode MSDA (0 = all
+    # levels); train-native fast knob, see ops/sampling.py
+    msda_sel_levels: int = 0
     dfa_attn_drop: float = 0.15
     num_learnable_pts: int = 6
     confidence_decay: float = 0.6
@@ -70,6 +73,9 @@ class HeadConfig:
     # DFA gather compaction: per-camera cap on in-view (anchor, point)
     # slots actually gathered (None = gather all A*P slots)
     dfa_gather_capacity: int = 4096
+    # per-slot top-k level selection in the DFA gather (0 = all levels);
+    # train-native fast knob, see ops/sampling.py
+    dfa_sel_levels: int = 0
     limit_corners: int = 100  # train-time corner-only cap (config:163)
     # denoising
     num_dn_groups: int = 5
@@ -167,11 +173,18 @@ def simpb_r50_704x256_fast() -> ModelConfig:
       demand (1889/cam); tail scenes (p99 2199) drop <=7% of in-range
       keypoints, well inside the 15% whole-point training dropout
       (`dfa_attn_drop`) the model is already robust to.
+    * `msda_sel_levels=2` — each 2D query samples only its two
+      highest-attention-mass levels (train-native like the window: the
+      softmax learns to concentrate mass on the sampled levels; the
+      dropped contribution is bounded by the dropped mass — tested in
+      tests/test_level_select.py). The DFA twin (`dfa_sel_levels`) is a
+      measured NON-lever (PERF.md) and stays off.
     """
     head = HeadConfig(
         msda_patch_mode=True,
         msda_gather_capacity=208,
         dfa_gather_capacity=2048,
+        msda_sel_levels=2,
     )
     return ModelConfig(head=head)
 
@@ -197,6 +210,7 @@ def simpb_r101_1408x512_fast() -> ModelConfig:
         msda_patch_mode=True,
         msda_gather_capacity=208,
         dfa_gather_capacity=2048,
+        msda_sel_levels=2,
     )
     return ModelConfig(
         backbone_depth=101,

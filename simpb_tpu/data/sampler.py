@@ -13,6 +13,10 @@ Host-side equivalents of the reference samplers:
   each data-parallel shard streams whole scenes in order (reference
   datasets/samplers/distributed_sampler.py:25-82), required because the
   instance bank carries state across consecutive frames.
+* `group_epoch_indices` — the epoch-based fallback sampler (reference
+  datasets/samplers/group_sampler.py:13-119 `DistributedGroupSampler`):
+  group-aligned shuffle where every per-device batch is drawn from one
+  group, used when training without the temporal stream.
 """
 from __future__ import annotations
 
@@ -90,6 +94,47 @@ class GroupStreamSampler:
             ]
             lo = self.rank * self.batch_size
             yield batch_all[lo : lo + self.batch_size]
+
+
+def group_epoch_indices(
+    flags: np.ndarray,
+    samples_per_device: int,
+    num_replicas: int = 1,
+    rank: int = 0,
+    epoch: int = 0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Epoch-based group-aligned shuffle (the reference's fallback
+    `DistributedGroupSampler`, datasets/samplers/group_sampler.py:13-119).
+
+    Semantics preserved: per-group permutation, circular padding of each
+    group to a multiple of `samples_per_device * num_replicas`, shuffle
+    at `samples_per_device`-chunk granularity (so every per-device batch
+    is drawn from a single group), then a contiguous per-rank slice.
+    Deterministic in (epoch, seed) and identical across ranks, like the
+    reference's `torch.Generator().manual_seed(epoch + seed)`. Returns
+    this rank's frame indices for the epoch.
+    """
+    flags = np.asarray(flags)
+    rng = np.random.default_rng(epoch + seed)
+    quantum = samples_per_device * num_replicas
+
+    indices: List[int] = []
+    for g in np.unique(flags):
+        members = np.where(flags == g)[0]
+        perm = members[rng.permutation(len(members))].tolist()
+        extra = -len(perm) % quantum
+        padded = perm + (perm * (extra // len(perm) + 1))[:extra]
+        indices.extend(padded)
+
+    chunks = np.asarray(indices, dtype=np.int64).reshape(
+        -1, samples_per_device
+    )
+    chunks = chunks[rng.permutation(len(chunks))]
+    indices = chunks.reshape(-1)
+
+    num_samples = len(indices) // num_replicas
+    return indices[rank * num_samples : (rank + 1) * num_samples]
 
 
 def sequence_eval_shards(

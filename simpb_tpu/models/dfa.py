@@ -34,6 +34,7 @@ class DeformableFeatureAggregation(nn.Module):
     proj_drop: float = 0.0
     num_learnable_pts: int = 6
     gather_capacity: Optional[int] = 4096
+    sel_levels: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -101,6 +102,7 @@ class DeformableFeatureAggregation(nn.Module):
         features = deformable_aggregation(
             col_feats, spatial_shapes, points_2d.astype(col_feats.dtype),
             w.astype(col_feats.dtype), gather_capacity=self.gather_capacity,
+            sel_levels=self.sel_levels,
         )
 
         output = nn.Dense(self.embed_dims, dtype=self.dtype, name="output_proj")(

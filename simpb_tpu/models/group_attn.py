@@ -20,6 +20,8 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -125,6 +127,8 @@ class QueryGroupMSDA(nn.Module):
     # reference's ragged layout never materialises them at all,
     # group_attn.py:198-235). None disables compaction.
     gather_capacity: Optional[int] = None
+    # per-query top-k level selection (patch mode only; 0/None = all)
+    sel_levels: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -194,7 +198,12 @@ class QueryGroupMSDA(nn.Module):
             bs * self.num_cams, k, self.num_heads, self.num_levels,
             self.num_points,
         )
-        sample_fn = msda_patch if self.patch_mode else msda
+        if self.patch_mode:
+            sample_fn = functools.partial(
+                msda_patch, sel_levels=self.sel_levels
+            )
+        else:
+            sample_fn = msda
         cap = self.gather_capacity
         if cap is not None and cap < k:
             # valid-slot compaction: sample only slots with an allocated

@@ -164,6 +164,7 @@ class SimPBHead(nn.Module):
                         attn_drop=c.dfa_attn_drop,
                         num_learnable_pts=c.num_learnable_pts,
                         gather_capacity=c.dfa_gather_capacity,
+                        sel_levels=c.dfa_sel_levels or None,
                         dtype=self.dtype,
                         name=f"op{i}_deformable",
                     )
@@ -210,6 +211,7 @@ class SimPBHead(nn.Module):
                         dropout=c.drop_out,
                         patch_mode=c.msda_patch_mode,
                         gather_capacity=c.msda_gather_capacity,
+                        sel_levels=c.msda_sel_levels or None,
                         dtype=self.dtype,
                         name=f"op{i}_qg_cross_attn",
                     )

@@ -155,6 +155,7 @@ def deformable_aggregation(
     points_2d: jnp.ndarray,
     weights: jnp.ndarray,
     gather_capacity: Optional[int] = None,
+    sel_levels: Optional[int] = None,
 ) -> jnp.ndarray:
     """Fused multi-camera multi-scale deformable aggregation.
 
@@ -167,6 +168,12 @@ def deformable_aggregation(
         slots; in-range slots are kept in anchor order, overflow beyond M
         is dropped (None disables compaction). 4096 covers typical frames
         with 3x headroom at 900 anchors x 13 points.
+      sel_levels: sample only each slot's top-`sel_levels` levels by
+        fusion-weight mass (None/num_levels = all levels, exact). The
+        dropped levels' contribution is bounded by their weight mass
+        times the per-level feature range (tested); intended as a
+        TRAIN-NATIVE fast knob like `msda_patch` — the softmax weights
+        learn to concentrate on the sampled levels.
 
     Returns: [bs, A, C] aggregated anchor features in fp32.
     """
@@ -211,6 +218,70 @@ def deformable_aggregation(
         anchor_idx = jnp.broadcast_to(
             (jnp.arange(s, dtype=jnp.int32) // num_pts)[None], (b, s)
         )
+
+    if sel_levels is not None and sel_levels < num_levels:
+        k = sel_levels
+        h_vec = jnp.asarray(
+            [h_ for h_, _ in spatial_shapes.shapes], jnp.int32
+        )
+        w_vec = jnp.asarray(
+            [w_ for _, w_ in spatial_shapes.shapes], jnp.int32
+        )
+        start_vec = jnp.asarray(spatial_shapes.start_indices, jnp.int32)
+
+        @jax.checkpoint
+        def sample_core_sel(col_flat, loc, w_sel):
+            pair = make_pair_table(col_flat)
+            mass = w_sel.astype(jnp.float32).sum(-1)  # [b, m, L]
+            _, lsel = jax.lax.top_k(mass, k)  # [b, m, k]
+            lsel = lsel.astype(jnp.int32)
+            hh = jnp.take(h_vec, lsel)  # [b, m, k]
+            ww = jnp.take(w_vec, lsel)
+            st = jnp.take(start_vec, lsel)
+            # level-select the weights via a one-hot contraction —
+            # batched take_along_axis is off the gather fast path
+            # (measured 20-4000x slower; CLAUDE.md)
+            onehot_l = jax.nn.one_hot(lsel, num_levels, dtype=jnp.float32)
+            loc_k = jnp.broadcast_to(loc[:, :, None, :], (b, m, k, 2))
+            wx0, wx1, wy0, wy1, x0, y0, y1 = _corner_weights(
+                loc_k, hh, ww, col_flat.dtype, True
+            )
+            sx = jnp.clip(x0, 0, ww - 1)
+            batch_base = (
+                jnp.arange(b, dtype=jnp.int32) * total_hw
+            )[:, None, None]
+            row0 = batch_base + st + jnp.clip(y0, 0, hh - 1) * ww + sx
+            row1 = batch_base + st + jnp.clip(y1, 0, hh - 1) * ww + sx
+            idx = jnp.stack([row0, row1])  # [2, b, m, k]
+            vals = jnp.take(pair, idx.reshape(-1), axis=0).reshape(
+                2, b, m, k, 2 * c
+            )
+            sampled = _pair_bilinear(
+                vals, x0 == sx, wx0, wx1, wy0, wy1
+            )  # [b, m, k, C]
+            w_l = jnp.einsum(
+                "bmkl,bmlg->bmkg", onehot_l,
+                w_sel.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )  # [b, m, k, G]
+            w_exp = jnp.broadcast_to(
+                w_l[..., None], (b, m, k, num_groups, group_dims)
+            ).reshape(b, m, k, c)
+            return (
+                sampled.astype(jnp.float32) * w_exp.astype(jnp.float32)
+            ).sum(2)
+
+        out_c = sample_core_sel(
+            col_feats.reshape(b * total_hw, c), loc, w_all
+        )
+        onehot = jax.nn.one_hot(
+            anchor_idx, num_anchor, dtype=jnp.float32
+        ) * sel_valid[..., None].astype(jnp.float32)
+        out = jnp.einsum(
+            "bma,bmc->bac", onehot, out_c,
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape(bs, cams, num_anchor, c).sum(axis=1)
 
     # rematerialised sample core: the fused take's [L, 2, b, m, 2C]
     # gathered values (~200MB at production shapes) are recomputed in the
@@ -338,6 +409,7 @@ def msda_patch(
     attention_weights: jnp.ndarray,
     patch_h: int = 8,
     patch_w: int = 8,
+    sel_levels: Optional[int] = None,
 ) -> jnp.ndarray:
     """Approximate patch-mode MSDA (flag-gated; see PERF.md lever #1).
 
@@ -375,6 +447,26 @@ def msda_patch(
     head_mask = jnp.repeat(
         jnp.eye(heads, dtype=jnp.float32), head_dim, axis=1
     )  # [heads, C]
+
+    # top-k level selection: each query gathers windows only at its
+    # `sel_levels` highest-weight levels (same train-native posture as
+    # the window clamp; dropped-level contribution is bounded by the
+    # dropped softmax mass — tested). Requires the full patch to fit
+    # every level so the window geometry is level-uniform; smaller
+    # pyramids fall back to the exact all-level loop below.
+    patch_fits_all = all(
+        h_ >= patch_h and w_ >= patch_w and patch_w % 2 == 0
+        for h_, w_ in spatial_shapes.shapes
+    )
+    if (
+        sel_levels is not None
+        and sel_levels < num_levels
+        and patch_fits_all
+    ):
+        return _msda_patch_sel(
+            value, spatial_shapes, loc, attw, head_mask,
+            patch_h, patch_w, sel_levels,
+        )
 
     @jax.checkpoint
     def sample_core(value_flat, loc, attw):
@@ -486,5 +578,131 @@ def msda_patch(
                 preferred_element_type=jnp.float32,
             )
         return out
+
+    return sample_core(value.reshape(b * total_hw, c), loc, attw)
+
+
+def _msda_patch_sel(
+    value: jnp.ndarray,  # [B, ΣHW, C]
+    spatial_shapes: SpatialShapes,
+    loc: jnp.ndarray,  # [B, Q, L, n, 2] (H-major samples)
+    attw: jnp.ndarray,  # [B, Q, L, n]
+    head_mask: jnp.ndarray,  # [heads, C]
+    patch_h: int,
+    patch_w: int,
+    sel_levels: int,
+) -> jnp.ndarray:
+    """`msda_patch` with per-query top-k level selection.
+
+    Identical window math to the static per-level loop in `msda_patch`,
+    but the level axis is data-dependent: each query gathers one
+    `patch_h x patch_w` window at each of its `sel_levels`
+    highest-attention-mass levels, with the per-level constants
+    (start offset, W, H) fetched from tiny constant vectors. Gather rows
+    drop by the factor `sel_levels / num_levels`.
+    """
+    b, total_hw, c = value.shape
+    q, num_levels, n = loc.shape[1:4]
+    heads = head_mask.shape[0]
+    num_points = n // heads
+    k = sel_levels
+    ph, pw = patch_h, patch_w
+
+    h_vec = jnp.asarray([h_ for h_, _ in spatial_shapes.shapes], jnp.int32)
+    w_vec = jnp.asarray([w_ for _, w_ in spatial_shapes.shapes], jnp.int32)
+    start_vec = jnp.asarray(spatial_shapes.start_indices, jnp.int32)
+
+    @jax.checkpoint
+    def sample_core(value_flat, loc, attw):
+        pair = make_pair_table(value_flat)
+        mass = attw.astype(jnp.float32).sum(-1)  # [B, Q, L]
+        _, lsel = jax.lax.top_k(mass, k)  # [B, Q, k]
+        lsel = lsel.astype(jnp.int32)
+        # one-hot contraction instead of batched take_along_axis (the
+        # latter is off the gather fast path — CLAUDE.md)
+        onehot_l = jax.nn.one_hot(lsel, num_levels, dtype=jnp.float32)
+        loc_s = jnp.einsum(
+            "bqkl,bqlnx->bqknx", onehot_l, loc.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )  # [B, Q, k, n, 2]
+        a_s = jnp.einsum(
+            "bqkl,bqln->bqkn", onehot_l, attw.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        hh = jnp.take(h_vec, lsel)  # [B, Q, k]
+        ww = jnp.take(w_vec, lsel)
+        st = jnp.take(start_vec, lsel)
+        wwf = ww.astype(jnp.float32)[..., None]
+        hhf = hh.astype(jnp.float32)[..., None]
+
+        px = loc_s[..., 0].astype(jnp.float32) * wwf - 0.5  # [B,Q,k,n]
+        py = loc_s[..., 1].astype(jnp.float32) * hhf - 0.5
+        keep = (
+            (px > -1.0) & (px < wwf) & (py > -1.0) & (py < hhf)
+        ).astype(jnp.float32)
+        kb = keep > 0.0
+        big = jnp.float32(1e9)
+        mid_x = 0.5 * (
+            jnp.min(jnp.where(kb, px, big), -1)
+            + jnp.max(jnp.where(kb, px, -big), -1)
+        )  # [B, Q, k]
+        mid_y = 0.5 * (
+            jnp.min(jnp.where(kb, py, big), -1)
+            + jnp.max(jnp.where(kb, py, -big), -1)
+        )
+        base_x = jnp.clip(
+            jnp.round(mid_x - (pw - 1) / 2.0).astype(jnp.int32), 0, ww - pw
+        )
+        base_y = jnp.clip(
+            jnp.round(mid_y - (ph - 1) / 2.0).astype(jnp.int32), 0, hh - ph
+        )
+        ax = jnp.clip(
+            px, base_x[..., None] - 1 + 1e-4, base_x[..., None] + pw - 1e-4
+        )
+        ay = jnp.clip(
+            py, base_y[..., None] - 1 + 1e-4, base_y[..., None] + ph - 1e-4
+        )
+        x0 = jnp.floor(ax).astype(jnp.int32)
+        y0 = jnp.floor(ay).astype(jnp.int32)
+        lx = (ax - x0).astype(jnp.float32)
+        ly = (ay - y0).astype(jnp.float32)
+        i0x = x0 - base_x[..., None]
+        i0y = y0 - base_y[..., None]
+
+        batch_base = (
+            jnp.arange(b, dtype=jnp.int32) * total_hw
+        )[:, None, None, None, None]
+        dy = jnp.arange(ph, dtype=jnp.int32)[:, None]
+        dxp = jnp.arange(pw // 2, dtype=jnp.int32)[None, :] * 2
+        rows = (
+            batch_base
+            + st[..., None, None]
+            + (base_y[..., None, None] + dy) * ww[..., None, None]
+            + base_x[..., None, None]
+            + dxp
+        )  # [B, Q, k, ph, pw/2]
+        patch = jnp.take(pair, rows.reshape(-1), axis=0).reshape(
+            b, q, k, ph * pw, c
+        )
+
+        whx = (1.0 - lx)[..., None] * jax.nn.one_hot(
+            i0x, pw, dtype=jnp.float32
+        ) + lx[..., None] * jax.nn.one_hot(i0x + 1, pw, dtype=jnp.float32)
+        why = (1.0 - ly)[..., None] * jax.nn.one_hot(
+            i0y, ph, dtype=jnp.float32
+        ) + ly[..., None] * jax.nn.one_hot(i0y + 1, ph, dtype=jnp.float32)
+        a = a_s.astype(jnp.float32) * keep  # [B, Q, k, n]
+        wpix = jnp.einsum("bqknh,bqknw->bqknhw", why, whx).reshape(
+            b, q, k, n, ph * pw
+        ) * a[..., None]
+        wpix = wpix.reshape(b, q, k, heads, num_points, ph * pw).sum(4)
+        weighted = jnp.einsum(
+            "bqkhe,bqkec->bqhc", wpix, patch.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.einsum(
+            "bqhc,hc->bqc", weighted, head_mask,
+            preferred_element_type=jnp.float32,
+        )
 
     return sample_core(value.reshape(b * total_hw, c), loc, attw)

@@ -184,3 +184,36 @@ def test_pad_sample_contract(tmp_path):
     assert padded["gt_valid3d"].sum() == 2  # valid_flag keeps 2 of 3
     assert padded["gt_boxes2d"].shape == (6, 4, 4)
     assert padded["gt_vis2d_per3d"].shape == (8, 6)
+
+
+def test_group_epoch_indices_semantics():
+    """Epoch fallback sampler (reference group_sampler.py:13-119):
+    group-pure device batches, circular padding, rank partition,
+    determinism in (epoch, seed)."""
+    from simpb_tpu.data.sampler import group_epoch_indices
+
+    # 3 groups of uneven sizes 7, 4, 5
+    flags = np.array([0] * 7 + [1] * 4 + [2] * 5)
+    spd, nrep = 2, 2
+
+    per_rank = [
+        group_epoch_indices(flags, spd, nrep, rank=r, epoch=3, seed=11)
+        for r in range(nrep)
+    ]
+    # equal per-rank counts; union covers every frame at least once
+    assert len(per_rank[0]) == len(per_rank[1])
+    total = np.concatenate(per_rank)
+    # padded total: ceil(7/4)*4 + ceil(4/4)*4 + ceil(5/4)*4 = 8+4+8 = 20
+    assert len(total) == 20
+    assert set(total.tolist()) == set(range(16))
+
+    # every per-device batch of spd frames is drawn from ONE group
+    for r in per_rank:
+        for chunk in r.reshape(-1, spd):
+            assert len(np.unique(flags[chunk])) == 1
+
+    # deterministic in (epoch, seed); different epochs differ
+    again = group_epoch_indices(flags, spd, nrep, rank=0, epoch=3, seed=11)
+    np.testing.assert_array_equal(per_rank[0], again)
+    other = group_epoch_indices(flags, spd, nrep, rank=0, epoch=4, seed=11)
+    assert not np.array_equal(per_rank[0], other)
