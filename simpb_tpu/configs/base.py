@@ -63,6 +63,11 @@ class HeadConfig:
     # per-query top-k level selection in patch-mode MSDA (0 = all
     # levels); train-native fast knob, see ops/sampling.py
     msda_sel_levels: int = 0
+    # build ONE raw pair table per eval frame shared by every sampling
+    # call (DFA directly; patch-mode MSDA via post-sampling value
+    # projection — exact, see ops/sampling.py). Training always
+    # rebuilds per-op inside the remat.
+    share_sampling_table: bool = True
     dfa_attn_drop: float = 0.15
     num_learnable_pts: int = 6
     confidence_decay: float = 0.6

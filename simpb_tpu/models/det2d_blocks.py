@@ -83,7 +83,12 @@ class SparseBox2DRefinementModule(nn.Module):
         out = Scale(self.output_dim, name="scale")(out)
 
         na = anchor2d.shape[-1]
-        out = out.at[..., :na].add(inverse_sigmoid(anchor2d))
+        # explicit cast: the anchor logits are fp32 geometry while `out`
+        # runs in the head compute dtype; without it jax's scatter-add
+        # dtype check warns (and will error in future releases)
+        out = out.at[..., :na].add(
+            inverse_sigmoid(anchor2d).astype(out.dtype)
+        )
 
         cls = None
         if return_cls and self.with_cls_branch:

@@ -48,6 +48,7 @@ class DeformableFeatureAggregation(nn.Module):
         projection_mat: jnp.ndarray,  # [bs, cams, 4, 4]
         image_wh: Optional[jnp.ndarray] = None,  # [bs, cams, 2]
         deterministic: bool = True,
+        pair_table: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         bs, num_anchor = instance_feature.shape[:2]
         kps = SparseBox3DKeyPointsGenerator(
@@ -102,7 +103,7 @@ class DeformableFeatureAggregation(nn.Module):
         features = deformable_aggregation(
             col_feats, spatial_shapes, points_2d.astype(col_feats.dtype),
             w.astype(col_feats.dtype), gather_capacity=self.gather_capacity,
-            sel_levels=self.sel_levels,
+            sel_levels=self.sel_levels, pair_table=pair_table,
         )
 
         output = nn.Dense(self.embed_dims, dtype=self.dtype, name="output_proj")(

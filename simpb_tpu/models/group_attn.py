@@ -140,6 +140,7 @@ class QueryGroupMSDA(nn.Module):
         value: jnp.ndarray,  # [bs, cams, ΣHW, C]
         spatial_shapes: SpatialShapes,
         deterministic: bool = True,
+        pair_table: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         bs, q_total, c = query.shape
         k = q_total // self.num_cams
@@ -147,13 +148,27 @@ class QueryGroupMSDA(nn.Module):
         if query_pos is not None:
             query = query + query_pos
 
-        v = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")(value)
-        # sample in the incoming feature dtype (bf16 in production); rows
-        # stay full-width — the per-head channel split happens inside the
-        # msda op after sampling (512-byte rows gather far faster)
-        v = v.astype(value.dtype).reshape(
-            bs * self.num_cams, -1, self.embed_dims
+        value_proj = nn.Dense(
+            self.embed_dims, dtype=self.dtype, name="value_proj"
         )
+        # post-projection mode (patch path + shared raw pair table):
+        # sampling is linear in the value, so the value projection is
+        # applied to the Q sampled rows instead of the ΣHW table rows —
+        # one raw `make_pair_table` then serves every sampling call of
+        # the frame (exact; border bias handled via the sampled weight
+        # mass, see ops/sampling.py::msda_patch)
+        post_proj = self.patch_mode and pair_table is not None
+        if post_proj:
+            v = value.reshape(bs * self.num_cams, -1, self.embed_dims)
+        else:
+            v = value_proj(value)
+            # sample in the incoming feature dtype (bf16 in production);
+            # rows stay full-width — the per-head channel split happens
+            # inside the msda op after sampling (512-byte rows gather
+            # far faster)
+            v = v.astype(value.dtype).reshape(
+                bs * self.num_cams, -1, self.embed_dims
+            )
 
         offsets = nn.Dense(
             self.num_heads * self.num_levels * self.num_points * 2,
@@ -200,10 +215,35 @@ class QueryGroupMSDA(nn.Module):
         )
         if self.patch_mode:
             sample_fn = functools.partial(
-                msda_patch, sel_levels=self.sel_levels
+                msda_patch, sel_levels=self.sel_levels,
+                pair_table=pair_table, raw_heads=post_proj,
             )
         else:
             sample_fn = msda
+
+        def project(sampled, wsum):
+            # per-head projection of the raw sampled values + weight-
+            # mass-scaled bias: channel d (owned by head h(d)) becomes
+            # (Σw_h x)·W[:, d] + wsum_h·b[d] — exactly sample-after-
+            # projection under zero-padding borders
+            proj = value_proj(sampled.astype(self.dtype))  # [b,m,H,C]
+            head_mask = jnp.repeat(
+                jnp.eye(self.num_heads, dtype=jnp.float32),
+                self.embed_dims // self.num_heads, axis=1,
+            )
+            out = jnp.einsum(
+                "bmhc,hc->bmc", proj.astype(jnp.float32), head_mask,
+                preferred_element_type=jnp.float32,
+            )
+            bias_vec = value_proj(
+                jnp.zeros((1, 1, self.embed_dims), self.dtype)
+            )[0, 0].astype(jnp.float32)
+            corr = jnp.einsum(
+                "bmh,hc->bmc", wsum - 1.0, head_mask,
+                preferred_element_type=jnp.float32,
+            ) * bias_vec
+            return out + corr
+
         cap = self.gather_capacity
         if cap is not None and cap < k:
             # valid-slot compaction: sample only slots with an allocated
@@ -220,6 +260,8 @@ class QueryGroupMSDA(nn.Module):
             )
             sel_valid = jnp.take_along_axis(valid, sel, axis=1)
             out_sel = sample_fn(v, spatial_shapes, take(loc), take(w))
+            if post_proj:
+                out_sel = project(*out_sel)
             onehot = jax.nn.one_hot(
                 sel, k, dtype=jnp.float32
             ) * sel_valid[..., None].astype(jnp.float32)
@@ -229,6 +271,8 @@ class QueryGroupMSDA(nn.Module):
             )
         else:
             out = sample_fn(v, spatial_shapes, loc, w)
+            if post_proj:
+                out = project(*out)
         out = out.reshape(bs, q_total, self.embed_dims)
         out = nn.Dense(self.embed_dims, dtype=self.dtype, name="output_proj")(
             out

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs.base import HeadConfig
+from ..ops.sampling import make_pair_table
 from ..ops.format import SpatialShapes
 from ..training.dn import DnState, cache_dn, update_dn
 from ..training.targets3d import DnBundle
@@ -346,6 +347,25 @@ class SimPBHead(nn.Module):
             if c.share_encoder2d:
                 col_feats = memory2d
 
+        # shared raw pair table(s): ONE full-column-copy table build
+        # serves every sampling call of the frame — DFA samples it
+        # directly, patch-mode MSDA samples raw and applies its value
+        # projection post-sampling (exact; ops/sampling.py). In training
+        # each op instead rebuilds its table inside its remat so the
+        # backward pass recomputes it rather than storing it.
+        pair_feats = pair_memory = None
+        if c.share_sampling_table and not train:
+            pair_feats = make_pair_table(
+                col_feats.reshape(-1, col_feats.shape[-1])
+            )
+            pair_memory = (
+                pair_feats
+                if memory2d is col_feats
+                else make_pair_table(
+                    memory2d.reshape(-1, memory2d.shape[-1])
+                )
+            )
+
         for i, op in enumerate(c.operation_order):
             layer = self.layers[i]
             if op == "norm":
@@ -404,7 +424,7 @@ class SimPBHead(nn.Module):
             elif op == "qg_cross_attn":
                 feat2d = self._qg_cross_attn(
                     layer, feat2d, anchor_embed2d, alloc, dn2d, memory2d,
-                    spatial_shapes, deterministic,
+                    spatial_shapes, deterministic, pair_memory,
                 )
             elif op == "refine2d":
                 box2d, cls2d, _, alpha2d = layer(
@@ -473,6 +493,7 @@ class SimPBHead(nn.Module):
                     projection_mat,
                     image_wh_arr,
                     deterministic=deterministic,
+                    pair_table=pair_feats,
                 )
             elif op == "refine3d":
                 return_cls = (
@@ -627,7 +648,7 @@ class SimPBHead(nn.Module):
 
     def _qg_cross_attn(
         self, layer, feat2d, anchor_embed2d, alloc, dn2d, col_feats,
-        spatial_shapes, deterministic,
+        spatial_shapes, deterministic, pair_table=None,
     ):
         """Per-camera MSDA cross-attention. With DN, each camera's real
         and DN slots both sample that camera's features (the reference
@@ -639,7 +660,7 @@ class SimPBHead(nn.Module):
             return layer(
                 feat2d, anchor_embed2d, alloc.anchor2d[..., :2],
                 alloc.ref_depth, col_feats, spatial_shapes,
-                deterministic=deterministic,
+                deterministic=deterministic, pair_table=pair_table,
             )
         bs = feat2d.shape[0]
         k, kd = c.allocation_capacity, c.dn_allocation_capacity
@@ -660,6 +681,7 @@ class SimPBHead(nn.Module):
             col_feats,
             spatial_shapes,
             deterministic=deterministic,
+            pair_table=pair_table,
         )
         m = merged.reshape((bs, cams, k + kd) + merged.shape[2:])
         real = m[:, :, :k].reshape((bs, q2) + merged.shape[2:])

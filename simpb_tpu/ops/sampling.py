@@ -128,6 +128,22 @@ def make_pair_table(col_flat: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.optimization_barrier(pair)
 
 
+def _with_pair_table(core, pair_table, col_flat, *args):
+    """Run a rematerialised sampling core over the pair table.
+
+    With no precomputed table the build happens INSIDE the checkpoint,
+    so the backward pass recomputes it from `col_flat` instead of
+    storing the (full-column-copy-sized) table. With a shared table the
+    checkpoint treats it as an input — still rematerialising the
+    gathered values, which is the expensive part.
+    """
+    if pair_table is None:
+        return jax.checkpoint(
+            lambda cf, *a: core(make_pair_table(cf), *a)
+        )(col_flat, *args)
+    return jax.checkpoint(core)(pair_table, *args)
+
+
 def _pair_bilinear(
     pair_vals: jnp.ndarray,  # [2, ..., 2C] fetched (y0, y1) pair rows
     aligned: jnp.ndarray,  # [...] bool: x0 == pair start
@@ -156,6 +172,7 @@ def deformable_aggregation(
     weights: jnp.ndarray,
     gather_capacity: Optional[int] = None,
     sel_levels: Optional[int] = None,
+    pair_table: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Fused multi-camera multi-scale deformable aggregation.
 
@@ -174,6 +191,13 @@ def deformable_aggregation(
         times the per-level feature range (tested); intended as a
         TRAIN-NATIVE fast knob like `msda_patch` — the softmax weights
         learn to concentrate on the sampled levels.
+      pair_table: optional precomputed `make_pair_table` of the
+        flattened `col_feats` — the table build is a full column copy
+        (HBM-bound, resolution-dependent), so callers issuing several
+        sampling calls per frame over the same features build it ONCE
+        and share it (bit-identical results). When None (training
+        path), the table is built inside the rematerialised core so the
+        backward pass recomputes it instead of storing it.
 
     Returns: [bs, A, C] aggregated anchor features in fp32.
     """
@@ -229,9 +253,7 @@ def deformable_aggregation(
         )
         start_vec = jnp.asarray(spatial_shapes.start_indices, jnp.int32)
 
-        @jax.checkpoint
-        def sample_core_sel(col_flat, loc, w_sel):
-            pair = make_pair_table(col_flat)
+        def sample_core_sel(pair, loc, w_sel):
             mass = w_sel.astype(jnp.float32).sum(-1)  # [b, m, L]
             _, lsel = jax.lax.top_k(mass, k)  # [b, m, k]
             lsel = lsel.astype(jnp.int32)
@@ -244,7 +266,7 @@ def deformable_aggregation(
             onehot_l = jax.nn.one_hot(lsel, num_levels, dtype=jnp.float32)
             loc_k = jnp.broadcast_to(loc[:, :, None, :], (b, m, k, 2))
             wx0, wx1, wy0, wy1, x0, y0, y1 = _corner_weights(
-                loc_k, hh, ww, col_flat.dtype, True
+                loc_k, hh, ww, pair.dtype, True
             )
             sx = jnp.clip(x0, 0, ww - 1)
             batch_base = (
@@ -271,8 +293,9 @@ def deformable_aggregation(
                 sampled.astype(jnp.float32) * w_exp.astype(jnp.float32)
             ).sum(2)
 
-        out_c = sample_core_sel(
-            col_feats.reshape(b * total_hw, c), loc, w_all
+        out_c = _with_pair_table(
+            sample_core_sel, pair_table,
+            col_feats.reshape(b * total_hw, c), loc, w_all,
         )
         onehot = jax.nn.one_hot(
             anchor_idx, num_anchor, dtype=jnp.float32
@@ -286,9 +309,7 @@ def deformable_aggregation(
     # rematerialised sample core: the fused take's [L, 2, b, m, 2C]
     # gathered values (~200MB at production shapes) are recomputed in the
     # backward pass instead of stored
-    @jax.checkpoint
-    def sample_core(col_flat, loc, w_sel):
-        pair = make_pair_table(col_flat)
+    def sample_core(pair, loc, w_sel):
         batch_base = (jnp.arange(b, dtype=jnp.int32) * total_hw)[:, None]
         # per-level takes measured slightly faster than one fused take
         # (each level's bilinear combine pipelines with the next gather)
@@ -297,7 +318,7 @@ def deformable_aggregation(
             h_, w_ = spatial_shapes.shapes[lvl]
             start = spatial_shapes.start_indices[lvl]
             wx0, wx1, wy0, wy1, x0, y0, y1 = _corner_weights(
-                loc, h_, w_, col_flat.dtype, True
+                loc, h_, w_, pair.dtype, True
             )
             sx = jnp.clip(x0, 0, w_ - 1)
             row0 = batch_base + start + jnp.clip(y0, 0, h_ - 1) * w_ + sx
@@ -314,8 +335,9 @@ def deformable_aggregation(
             out_c = out_c + (sampled * w_exp).astype(jnp.float32)
         return out_c
 
-    out_c = sample_core(
-        col_feats.reshape(b * total_hw, c), loc, w_all
+    out_c = _with_pair_table(
+        sample_core, pair_table,
+        col_feats.reshape(b * total_hw, c), loc, w_all,
     )
 
     # scatter-add compacted slots back to anchors on the MXU
@@ -410,7 +432,9 @@ def msda_patch(
     patch_h: int = 8,
     patch_w: int = 8,
     sel_levels: Optional[int] = None,
-) -> jnp.ndarray:
+    pair_table: Optional[jnp.ndarray] = None,
+    raw_heads: bool = False,
+):
     """Approximate patch-mode MSDA (flag-gated; see PERF.md lever #1).
 
     All of a query's samples at a level are served from one
@@ -429,7 +453,17 @@ def msda_patch(
     fits the window — inside or partially outside the image — produces
     the exact grid_sample value (tested).
 
-    Same signature/return as `msda`.
+    Same signature/return as `msda`. Two sharing hooks (both exact):
+    `pair_table` — a precomputed `make_pair_table(value_flat)` so one
+    table build serves several sampling calls per frame; `raw_heads` —
+    return `(sampled [B, Q, heads, C], wsum [B, Q, heads])` BEFORE the
+    per-head channel masking, where `wsum` is each head's total
+    effective sampling weight (attention x in-image bilinear mass).
+    Because sampling is linear in the value, a caller can then apply
+    its value projection to the Q sampled rows instead of the ΣHW table
+    rows: `proj(sampled)` per head + `(wsum - 1) * bias` correction
+    reproduces sample-after-projection exactly (the correction accounts
+    for border samples whose bilinear mass < 1 under zero padding).
     """
     b, total_hw, c = value.shape
     q = sampling_locations.shape[1]
@@ -465,14 +499,13 @@ def msda_patch(
     ):
         return _msda_patch_sel(
             value, spatial_shapes, loc, attw, head_mask,
-            patch_h, patch_w, sel_levels,
+            patch_h, patch_w, sel_levels, pair_table, raw_heads,
         )
 
-    @jax.checkpoint
-    def sample_core(value_flat, loc, attw):
-        pair = make_pair_table(value_flat)
+    def sample_core(pair, loc, attw):
         batch_base = (jnp.arange(b, dtype=jnp.int32) * total_hw)[:, None]
-        out = jnp.zeros((b, q, c), jnp.float32)
+        acc = jnp.zeros((b, q, heads, c), jnp.float32)
+        acc_w = jnp.zeros((b, q, heads), jnp.float32)
         for lvl in range(num_levels):
             h_, w_ = spatial_shapes.shapes[lvl]
             start = spatial_shapes.start_indices[lvl]
@@ -573,13 +606,18 @@ def msda_patch(
                 "bqhe,bqec->bqhc", wpix, patch.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
             )
-            out = out + jnp.einsum(
-                "bqhc,hc->bqc", weighted, head_mask,
-                preferred_element_type=jnp.float32,
-            )
-        return out
+            acc = acc + weighted
+            acc_w = acc_w + wpix.sum(-1)
+        if raw_heads:
+            return acc, acc_w
+        return jnp.einsum(
+            "bqhc,hc->bqc", acc, head_mask,
+            preferred_element_type=jnp.float32,
+        )
 
-    return sample_core(value.reshape(b * total_hw, c), loc, attw)
+    return _with_pair_table(
+        sample_core, pair_table, value.reshape(b * total_hw, c), loc, attw
+    )
 
 
 def _msda_patch_sel(
@@ -591,7 +629,9 @@ def _msda_patch_sel(
     patch_h: int,
     patch_w: int,
     sel_levels: int,
-) -> jnp.ndarray:
+    pair_table: Optional[jnp.ndarray] = None,
+    raw_heads: bool = False,
+):
     """`msda_patch` with per-query top-k level selection.
 
     Identical window math to the static per-level loop in `msda_patch`,
@@ -612,9 +652,7 @@ def _msda_patch_sel(
     w_vec = jnp.asarray([w_ for _, w_ in spatial_shapes.shapes], jnp.int32)
     start_vec = jnp.asarray(spatial_shapes.start_indices, jnp.int32)
 
-    @jax.checkpoint
-    def sample_core(value_flat, loc, attw):
-        pair = make_pair_table(value_flat)
+    def sample_core(pair, loc, attw):
         mass = attw.astype(jnp.float32).sum(-1)  # [B, Q, L]
         _, lsel = jax.lax.top_k(mass, k)  # [B, Q, k]
         lsel = lsel.astype(jnp.int32)
@@ -700,9 +738,13 @@ def _msda_patch_sel(
             "bqkhe,bqkec->bqhc", wpix, patch.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
+        if raw_heads:
+            return weighted, wpix.sum((-1,)).sum(2)
         return jnp.einsum(
             "bqhc,hc->bqc", weighted, head_mask,
             preferred_element_type=jnp.float32,
         )
 
-    return sample_core(value.reshape(b * total_hw, c), loc, attw)
+    return _with_pair_table(
+        sample_core, pair_table, value.reshape(b * total_hw, c), loc, attw
+    )
