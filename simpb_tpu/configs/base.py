@@ -108,7 +108,12 @@ class ModelConfig:
     backbone_depth: int = 50
     backbone_remat: bool = True  # reference with_cp=True (config:86)
     # exact-equivalent space-to-depth stem (models/backbone.py::StemConv)
-    stem_s2d: bool = True
+    # space-to-depth stem: exact-equivalent reformulation of the 7x7/s2
+    # stem conv. Round-1 measured it neutral; round-2 measured the PLAIN
+    # conv consistently faster end-to-end (r50 72.4 vs 68.8 fps, r101
+    # 27.6 vs 25.9) — default off, kept for toolchains where the
+    # low-channel stem is the bottleneck.
+    stem_s2d: bool = False
     use_grid_mask: bool = True
     num_depth_layers: int = 3
     depth_loss_weight: float = 0.2

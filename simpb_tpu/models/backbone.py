@@ -73,7 +73,7 @@ class StemConv(nn.Module):
     """
 
     features: int = 64
-    s2d: bool = True
+    s2d: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -112,7 +112,7 @@ class ResNet(nn.Module):
     depth: int = 50
     dtype: jnp.dtype = jnp.float32
     remat: bool = False  # reference with_cp=True (config:86)
-    stem_s2d: bool = True  # exact-equivalent s2d stem (PERF.md lever #4)
+    stem_s2d: bool = False  # exact-equivalent s2d stem (see configs/base.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):

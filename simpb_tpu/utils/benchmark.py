@@ -21,17 +21,25 @@ from ..models.instance_bank import TemporalState
 from .synthetic import install_synthetic_anchors, synthetic_rig
 
 
-def run_benchmark(cfg, window: int = 32, batch_size: int = 1) -> float:
-    """Returns six-camera frames/sec/chip for `cfg`."""
+def run_benchmark(cfg, window: int = 64, batch_size: int = 1) -> float:
+    """Returns six-camera frames/sec/chip for `cfg`.
+
+    The frame window is generated ON DEVICE (per-frame-varied inputs —
+    the tunnel result cache requires it — without shipping hundreds of
+    MB through the tunnel), and the whole window runs in one dispatch so
+    the ~30-90 ms tunnel RTT amortises to <2% of the measurement.
+    """
     model = SimPB(cfg)
     bs, cams = batch_size, cfg.head.num_cams
     w, h = cfg.input_size
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.normal(size=(bs, cams, h, w, 3)).astype(np.float32))
-    imgs = jnp.asarray(
-        rng.normal(size=(window, bs, cams, h, w, 3)).astype(np.float32)
-    )
+    imgs = jax.jit(
+        lambda key: jax.random.normal(
+            key, (window, bs, cams, h, w, 3), jnp.float32
+        )
+    )(jax.random.PRNGKey(17))
     proj = jnp.asarray(synthetic_rig(bs, image_wh=(w, h)))
     variables = jax.jit(
         lambda: model.init(

@@ -32,7 +32,7 @@ def parse_args():
                    help="override msda_gather_capacity (0 = uncapped)")
     p.add_argument("--batch-size", type=int, default=1,
                    help="concurrent temporal streams per chip")
-    p.add_argument("--frames", type=int, default=32,
+    p.add_argument("--frames", type=int, default=64,
                    help="frames per stream in the timed window")
     p.add_argument("--fp32", action="store_true",
                    help="disable the bf16 trunk/head (default bf16)")
