@@ -37,7 +37,8 @@ def parse_args():
     p.add_argument("--ann-file", required=True)
     p.add_argument("--data-root", default="")
     p.add_argument("--config", default="r50",
-                   choices=["r50", "r101", "tiny"])
+                   choices=["r50", "r50-fast", "r101", "r101-fast",
+                            "tiny"])
     p.add_argument("--src-h", type=int, default=900)
     p.add_argument("--src-w", type=int, default=1600)
     p.add_argument("--checkpoint", default=None)
@@ -60,6 +61,8 @@ def main():
     from simpb_tpu.configs.base import (
         simpb_r101_1408x512,
         simpb_r50_704x256,
+        simpb_r50_704x256_fast,
+        simpb_r101_1408x512_fast,
         simpb_tiny,
     )
     from simpb_tpu.data.dataset import NuScenesDataset
@@ -67,7 +70,9 @@ def main():
     from simpb_tpu.models.detector import SimPB
     from simpb_tpu.training.evaluate import streaming_eval
 
-    cfg = {"r50": simpb_r50_704x256, "r101": simpb_r101_1408x512,
+    cfg = {"r50": simpb_r50_704x256, "r50-fast": simpb_r50_704x256_fast,
+           "r101": simpb_r101_1408x512,
+           "r101-fast": simpb_r101_1408x512_fast,
            "tiny": simpb_tiny}[args.config]()
     cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
     if args.msda_patch:

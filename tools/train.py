@@ -10,7 +10,7 @@ the reference's IterBasedRunner over the GroupInBatchSampler stream.
 
 Usage:
   python tools/train.py --ann-file data/nuscenes/simpb_nuscenes_infos_train.pkl \
-      [--config r50|r101] [--work-dir work_dirs/simpb_r50] [--max-iters N]
+      [--config r50|r50-fast|r101|r101-fast|tiny] [--work-dir work_dirs/simpb_r50] [--max-iters N]
 """
 import argparse
 import dataclasses
@@ -36,7 +36,8 @@ def parse_args():
     p.add_argument("--ann-file", required=True)
     p.add_argument("--data-root", default="")
     p.add_argument("--config", default="r50",
-                   choices=["r50", "r101", "tiny"])
+                   choices=["r50", "r50-fast", "r101", "r101-fast",
+                            "tiny"])
     p.add_argument("--work-dir", default="work_dirs/simpb_tpu")
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--max-iters", type=int, default=None)
@@ -66,6 +67,8 @@ def main():
         TrainConfig,
         simpb_r101_1408x512,
         simpb_r50_704x256,
+        simpb_r50_704x256_fast,
+        simpb_r101_1408x512_fast,
         simpb_tiny,
     )
     from simpb_tpu.data.dataset import NuScenesDataset, pad_sample
@@ -77,7 +80,9 @@ def main():
         init_temporal,
     )
 
-    cfg = {"r50": simpb_r50_704x256, "r101": simpb_r101_1408x512,
+    cfg = {"r50": simpb_r50_704x256, "r50-fast": simpb_r50_704x256_fast,
+           "r101": simpb_r101_1408x512,
+           "r101-fast": simpb_r101_1408x512_fast,
            "tiny": simpb_tiny}[args.config]()
     if args.bf16:
         cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
