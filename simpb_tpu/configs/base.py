@@ -81,6 +81,9 @@ class HeadConfig:
     # per-slot top-k level selection in the DFA gather (0 = all levels);
     # train-native fast knob, see ops/sampling.py
     dfa_sel_levels: int = 0
+    # per-(camera, level) budget on gathered DFA slots, weight-mass
+    # prioritised (0 = off); see ops/sampling.py::deformable_aggregation
+    dfa_level_capacity: int = 0
     limit_corners: int = 100  # train-time corner-only cap (config:163)
     # denoising
     num_dn_groups: int = 5

@@ -35,6 +35,7 @@ class DeformableFeatureAggregation(nn.Module):
     num_learnable_pts: int = 6
     gather_capacity: Optional[int] = 4096
     sel_levels: Optional[int] = None
+    level_capacity: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -104,6 +105,7 @@ class DeformableFeatureAggregation(nn.Module):
             col_feats, spatial_shapes, points_2d.astype(col_feats.dtype),
             w.astype(col_feats.dtype), gather_capacity=self.gather_capacity,
             sel_levels=self.sel_levels, pair_table=pair_table,
+            level_capacity=self.level_capacity,
         )
 
         output = nn.Dense(self.embed_dims, dtype=self.dtype, name="output_proj")(

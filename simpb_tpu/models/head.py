@@ -166,6 +166,7 @@ class SimPBHead(nn.Module):
                         num_learnable_pts=c.num_learnable_pts,
                         gather_capacity=c.dfa_gather_capacity,
                         sel_levels=c.dfa_sel_levels or None,
+                        level_capacity=c.dfa_level_capacity or None,
                         dtype=self.dtype,
                         name=f"op{i}_deformable",
                     )

@@ -173,6 +173,7 @@ def deformable_aggregation(
     gather_capacity: Optional[int] = None,
     sel_levels: Optional[int] = None,
     pair_table: Optional[jnp.ndarray] = None,
+    level_capacity: Optional[int] = None,
 ) -> jnp.ndarray:
     """Fused multi-camera multi-scale deformable aggregation.
 
@@ -191,6 +192,15 @@ def deformable_aggregation(
         times the per-level feature range (tested); intended as a
         TRAIN-NATIVE fast knob like `msda_patch` — the softmax weights
         learn to concentrate on the sampled levels.
+      level_capacity: per-(camera, level) budget on gathered slots —
+        each level gathers only its top-`level_capacity` slots by that
+        level's fusion-weight mass (weight-prioritised, so the dropped
+        contribution is the smallest available; exact whenever <=
+        level_capacity in-range slots carry nonzero mass at the level).
+        Unlike `sel_levels` (a per-slot top-k, measured SLOWER because
+        it fuses levels into one locality-poor gather) this keeps the
+        per-level take structure and just shortens each take. None
+        disables. TRAIN-NATIVE fast knob like the others.
       pair_table: optional precomputed `make_pair_table` of the
         flattened `col_feats` — the table build is a full column copy
         (HBM-bound, resolution-dependent), so callers issuing several
@@ -242,6 +252,61 @@ def deformable_aggregation(
         anchor_idx = jnp.broadcast_to(
             (jnp.arange(s, dtype=jnp.int32) // num_pts)[None], (b, s)
         )
+
+    if level_capacity is not None and level_capacity < m:
+        ml = level_capacity
+
+        def sample_core_budget(pair, loc, w_sel, sel_valid, anchor_idx):
+            batch_base = (
+                jnp.arange(b, dtype=jnp.int32) * total_hw
+            )[:, None]
+            out = jnp.zeros((b, num_anchor, c), jnp.float32)
+            validf = sel_valid.astype(jnp.float32)
+            for lvl in range(num_levels):
+                h_, w_ = spatial_shapes.shapes[lvl]
+                start = spatial_shapes.start_indices[lvl]
+                mass = w_sel[:, :, lvl].astype(jnp.float32).sum(-1)
+                _, sl = jax.lax.top_k(mass * validf, ml)  # [b, ml]
+                sl = sl.astype(jnp.int32)
+                take_l = lambda x: jnp.take_along_axis(
+                    x, sl.reshape(sl.shape + (1,) * (x.ndim - 2)), axis=1
+                )
+                loc_l = take_l(loc)
+                wx0, wx1, wy0, wy1, x0, y0, y1 = _corner_weights(
+                    loc_l, h_, w_, pair.dtype, True
+                )
+                sx = jnp.clip(x0, 0, w_ - 1)
+                row0 = batch_base + start + jnp.clip(y0, 0, h_ - 1) * w_ + sx
+                row1 = batch_base + start + jnp.clip(y1, 0, h_ - 1) * w_ + sx
+                idx = jnp.stack([row0, row1])
+                vals = jnp.take(pair, idx.reshape(-1), axis=0).reshape(
+                    2, b, ml, 2 * c
+                )
+                sampled = _pair_bilinear(
+                    vals, x0 == sx, wx0, wx1, wy0, wy1
+                )  # [b, ml, C]
+                w_l = take_l(w_sel[:, :, lvl])  # [b, ml, G]
+                w_exp = jnp.broadcast_to(
+                    w_l[..., None], (b, ml, num_groups, group_dims)
+                ).reshape(b, ml, c)
+                out_l = sampled.astype(jnp.float32) * w_exp.astype(
+                    jnp.float32
+                )
+                onehot_l = jax.nn.one_hot(
+                    take_l(anchor_idx), num_anchor, dtype=jnp.float32
+                ) * take_l(sel_valid)[..., None].astype(jnp.float32)
+                out = out + jnp.einsum(
+                    "bma,bmc->bac", onehot_l, out_l,
+                    preferred_element_type=jnp.float32,
+                )
+            return out
+
+        out = _with_pair_table(
+            sample_core_budget, pair_table,
+            col_feats.reshape(b * total_hw, c),
+            loc, w_all, sel_valid, anchor_idx,
+        )
+        return out.reshape(bs, cams, num_anchor, c).sum(axis=1)
 
     if sel_levels is not None and sel_levels < num_levels:
         k = sel_levels

@@ -108,3 +108,69 @@ def sample_targets2d(
 
     unfold = lambda x: x.reshape((bs, q) + x.shape[2:])
     return unfold(cls_t), unfold(box_t), unfold(alpha_t), unfold(w_t)
+
+
+def trans_cost3d(
+    cost2d: jnp.ndarray,  # [bs, cams, K, G2] per-camera 2D cost maps
+    slot_valid: jnp.ndarray,  # [bs, cams*K] allocation validity
+    gt_valid: jnp.ndarray,  # [bs, cams, G2]
+    gt_2d_3d_map: jnp.ndarray,  # [bs, cams, G2] 3D-GT index per 2D GT
+    trans_matrix: jnp.ndarray,  # [bs, cams*K, A3] 2D->3D incidence
+    num_gt3d: int,
+    eps: float = 1e-12,
+) -> jnp.ndarray:
+    """Fold the 2D matching costs into the 3D cost map
+    (reference detection2d/coster.py:63-109 `trans_cost` — built but
+    never invoked by the released head; provided for surface parity).
+
+    Averages each 3D GT's 2D-target costs (via the `gt_2d_3d_map`
+    one-hot) and each 3D query's 2D-query costs (via `trans_matrix`ᵀ),
+    with the reference's fill conventions: slots outside their camera
+    block / invalid entries take the per-sample max cost, and all-zero
+    rows/columns of the folded map are reset to its max. Returns
+    [bs, A3, num_gt3d], addable to the 3D assignment cost.
+    """
+    bs, cams, k, g2 = cost2d.shape
+    q2 = cams * k
+    a3 = trans_matrix.shape[-1]
+
+    valid_q = slot_valid.reshape(bs, cams, k)
+    pairs = (
+        valid_q[..., None] & gt_valid[:, :, None, :]
+    )  # [bs, cams, K, G2]
+    big = jnp.max(
+        jnp.where(pairs, cost2d, -jnp.inf), axis=(1, 2, 3)
+    )  # per-sample max over valid in-camera entries (coster.py:88-90)
+    big = jnp.nan_to_num(big, neginf=0.0)
+    filled = jnp.where(pairs, cost2d, big[:, None, None, None])
+
+    # block-diagonal extension [bs, Q2, cams*G2]: a query's costs
+    # against other cameras' targets take the max fill
+    ext = jnp.full((bs, cams, k, cams, g2), 0.0, cost2d.dtype)
+    ext = ext + big[:, None, None, None, None]
+    cam_eye = jnp.eye(cams, dtype=bool)[None, :, None, :, None]
+    ext = jnp.where(
+        cam_eye, filled[:, :, :, None, :], ext
+    ).reshape(bs, q2, cams * g2)
+
+    # 2D target -> 3D GT one-hot (coster.py:93-95)
+    map_oh = jax.nn.one_hot(
+        jnp.clip(gt_2d_3d_map, 0, num_gt3d - 1), num_gt3d,
+        dtype=cost2d.dtype,
+    ) * gt_valid[..., None].astype(cost2d.dtype)
+    map_oh = map_oh.reshape(bs, cams * g2, num_gt3d)
+
+    per_gt3d = jnp.einsum("bqt,btg->bqg", ext, map_oh) / jnp.clip(
+        map_oh.sum(1), 1e-5
+    )[:, None]
+    tm_t = jnp.swapaxes(trans_matrix.astype(cost2d.dtype), 1, 2)
+    folded = jnp.einsum("baq,bqg->bag", tm_t, per_gt3d) / jnp.clip(
+        tm_t.sum(-1), 1e-5
+    )[..., None]
+
+    # zero rows/cols (no 2D evidence) -> max (coster.py:102-105)
+    mask = (folded.sum(1) == 0)[:, None, :] | (
+        folded.sum(2) == 0
+    )[:, :, None]
+    fmax = jnp.max(folded, axis=(1, 2), keepdims=True)
+    return jnp.where(mask, fmax, folded)

@@ -180,3 +180,52 @@ def test_msda_patch_sel_small_level_fallback():
     np.testing.assert_allclose(
         np.asarray(out_sel), np.asarray(out_full), atol=1e-6
     )
+
+
+def test_dfa_level_capacity_exact_when_mass_fits():
+    """Per-level budget (dfa level_capacity) is exact when each level's
+    nonzero-mass in-range slots fit the budget."""
+    rng = np.random.default_rng(9)
+    feats, pts, w = _dfa_inputs(rng, a=12, p=5)
+    # zero the mass of most slots at every level: keep 8 slots per level
+    w_np = np.asarray(w)
+    s = 12 * 5
+    mask = np.zeros((2, 12, 5, 3, SHAPES.num_levels, 1))
+    keep_slots = rng.permutation(s)[:8]
+    ka, kp = keep_slots // 5, keep_slots % 5
+    mask[:, ka, kp] = 1.0
+    w2 = jnp.asarray((w_np * mask).astype(np.float32))
+    # same gather_capacity in both — the budget's exactness claim is
+    # relative to the capacity-compacted baseline
+    full = deformable_aggregation(feats, SHAPES, pts, w2,
+                                  gather_capacity=32)
+    got = deformable_aggregation(
+        feats, SHAPES, pts, w2, gather_capacity=32, level_capacity=16
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                               atol=2e-5)
+
+
+def test_dfa_level_capacity_deviation_bounded_and_grads():
+    rng = np.random.default_rng(10)
+    feats, pts, w = _dfa_inputs(rng)
+    full = np.asarray(deformable_aggregation(feats, SHAPES, pts, w))
+    got = np.asarray(deformable_aggregation(
+        feats, SHAPES, pts, w, gather_capacity=32, level_capacity=16
+    ))
+    # |delta| <= total dropped weight mass * max|feat| (drop is
+    # weight-prioritised, so it's even tighter; use the loose bound)
+    bound = np.asarray(w).sum(axis=(2, 3, 4, 5))[..., None] * np.abs(
+        np.asarray(feats)).max() + 1e-4
+    assert (np.abs(got - full) <= bound).all()
+
+    def f(feats, w):
+        out = deformable_aggregation(
+            feats, SHAPES, pts, w, gather_capacity=32, level_capacity=16
+        )
+        return jnp.sum(out**2)
+
+    g1, g2 = jax.grad(f, argnums=(0, 1))(feats, w)
+    assert np.isfinite(np.asarray(g1)).all()
+    assert np.isfinite(np.asarray(g2)).all()
+    assert float(jnp.abs(g2).sum()) > 0

@@ -107,3 +107,60 @@ def test_associate_2d_selects_children_of_kept_3d():
     assert sorted(out["parent_3d"].tolist()) == [5, 5, 7]
     assert out["boxes_2d"].shape == (3, 4)
     assert out["camidx_2d"].tolist() == [0, 0, 1]
+
+
+def test_trans_cost3d_matches_reference_oracle():
+    """trans_cost3d vs a numpy oracle of the reference's ragged
+    computation (detection2d/coster.py:63-109)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from simpb_tpu.training.targets2d import trans_cost3d
+
+    rng = np.random.default_rng(0)
+    bs, cams, K, G2, A3, G3 = 2, 3, 4, 3, 6, 5
+
+    cost2d = rng.normal(size=(bs, cams, K, G2)).astype(np.float32)
+    slot_valid = rng.uniform(size=(bs, cams * K)) > 0.3
+    gt_valid = rng.uniform(size=(bs, cams, G2)) > 0.3
+    gt_map = rng.integers(0, G3, size=(bs, cams, G2))
+    # trans incidence: valid slots point at a random 3D anchor
+    tm = np.zeros((bs, cams * K, A3), np.float32)
+    owner = rng.integers(0, A3, size=(bs, cams * K))
+    tm[np.arange(bs)[:, None], np.arange(cams * K)[None], owner] = 1.0
+    tm *= slot_valid[..., None]
+
+    got = np.asarray(trans_cost3d(
+        jnp.asarray(cost2d), jnp.asarray(slot_valid),
+        jnp.asarray(gt_valid), jnp.asarray(gt_map), jnp.asarray(tm), G3,
+    ))
+
+    # ---- oracle: reference ragged math per sample ----
+    for i in range(bs):
+        vq = slot_valid[i].reshape(cams, K)
+        # global max over valid (query, target) same-camera entries
+        vals = [cost2d[i, c][vq[c]][:, gt_valid[i, c]] for c in range(cams)]
+        flat = np.concatenate([v.reshape(-1) for v in vals]) if any(
+            v.size for v in vals) else np.zeros(1)
+        big = flat.max() if flat.size else 0.0
+
+        # assembled [Q2, T2] with max fill (static slot layout)
+        T2 = cams * G2
+        ext = np.full((cams * K, T2), big, np.float32)
+        for c in range(cams):
+            for q in range(K):
+                for t in range(G2):
+                    if vq[c, q] and gt_valid[i, c, t]:
+                        ext[c * K + q, c * G2 + t] = cost2d[i, c, q, t]
+
+        map_m = np.zeros((T2, G3), np.float32)
+        for c in range(cams):
+            for t in range(G2):
+                if gt_valid[i, c, t]:
+                    map_m[c * G2 + t, gt_map[i, c, t]] = 1.0
+
+        m1 = (ext @ map_m) / np.clip(map_m.sum(0), 1e-5, None)[None]
+        tmt = tm[i].T  # [A3, Q2]
+        m2 = (tmt @ m1) / np.clip(tmt.sum(-1), 1e-5, None)[:, None]
+        mask = (m2.sum(0) == 0)[None, :] | (m2.sum(1) == 0)[:, None]
+        m2[mask] = m2.max()
+        np.testing.assert_allclose(got[i], m2, rtol=1e-5, atol=1e-5)
