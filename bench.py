@@ -47,7 +47,7 @@ def main():
         )
     cfg = dataclasses.replace(cfg, head=head)
 
-    fps = run_benchmark(cfg, window=64, batch_size=1)
+    fps = run_benchmark(cfg, window=128, batch_size=1)
     print(
         json.dumps(
             {

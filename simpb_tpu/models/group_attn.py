@@ -141,6 +141,7 @@ class QueryGroupMSDA(nn.Module):
         spatial_shapes: SpatialShapes,
         deterministic: bool = True,
         pair_table: Optional[jnp.ndarray] = None,
+        capacity_override: Optional[int] = None,
     ) -> jnp.ndarray:
         bs, q_total, c = query.shape
         k = q_total // self.num_cams
@@ -244,7 +245,11 @@ class QueryGroupMSDA(nn.Module):
             ) * bias_vec
             return out + corr
 
-        cap = self.gather_capacity
+        cap = (
+            capacity_override
+            if capacity_override is not None
+            else self.gather_capacity
+        )
         if cap is not None and cap < k:
             # valid-slot compaction: sample only slots with an allocated
             # depth, in slot order; scatter results back on the MXU

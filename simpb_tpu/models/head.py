@@ -683,6 +683,16 @@ class SimPBHead(nn.Module):
             spatial_shapes,
             deterministic=deterministic,
             pair_table=pair_table,
+            # the configured capacity was sized for REAL allocation
+            # slots (capacity study covers allocate_queries only); the
+            # merged call carries kd extra DN slots per camera, so
+            # widen the cap by kd to keep valid-slot compaction exact
+            # for the denoising branch too
+            capacity_override=(
+                c.msda_gather_capacity + kd
+                if c.msda_gather_capacity is not None
+                else None
+            ),
         )
         m = merged.reshape((bs, cams, k + kd) + merged.shape[2:])
         real = m[:, :, :k].reshape((bs, q2) + merged.shape[2:])

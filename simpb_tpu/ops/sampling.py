@@ -253,6 +253,16 @@ def deformable_aggregation(
             (jnp.arange(s, dtype=jnp.int32) // num_pts)[None], (b, s)
         )
 
+    if (
+        level_capacity is not None
+        and sel_levels is not None
+        and sel_levels < num_levels
+    ):
+        raise ValueError(
+            "level_capacity and sel_levels are alternative DFA row-cut "
+            "strategies and do not compose; set only one"
+        )
+
     if level_capacity is not None and level_capacity < m:
         ml = level_capacity
 

@@ -86,11 +86,19 @@ def restore_checkpoint(
         "prev_pose": _pack_prev_pose(None),
     }
     prev_pose = None
-    try:
-        # the prev_pose slot count may differ (it follows bs_local);
-        # restore it structurally via a second pass below
-        raw = ckptr.restore(path)
-        n_slots = len(np.atleast_1d(raw["prev_pose"]["has"]))
+    # metadata pass: detect the checkpoint format and the prev_pose slot
+    # count (follows bs_local, may differ from the current run) WITHOUT
+    # deserialising any array data
+    meta_tree = ckptr.metadata(path).item_metadata.tree
+    full_format = all(
+        k in meta_tree
+        for k in ("opt_state", "temporal", "dn_state", "prev_pose")
+    )
+    if full_format:
+        # typed restore — errors here mean a REAL mismatch (different
+        # batch size / device count / model config than the templates)
+        # and must surface, not silently fall back to params-only
+        n_slots = int(meta_tree["prev_pose"]["has"].shape[0])
         template["prev_pose"] = _pack_prev_pose([None] * n_slots)
         loaded = ckptr.restore(path, item=template)
         state = state.replace(
@@ -103,11 +111,17 @@ def restore_checkpoint(
         dn_state = loaded["dn_state"]
         if n_slots:
             prev_pose = _unpack_prev_pose(loaded["prev_pose"])
-    except (KeyError, ValueError, TypeError):
-        loaded = ckptr.restore(path)
+    else:
+        print(
+            f"[checkpoint] {path} is params-only (no optimizer/temporal "
+            "state): optimizer moments and the temporal stream restart "
+            "fresh",
+            flush=True,
+        )
+        raw = ckptr.restore(path)
         state = state.replace(
-            params=loaded["params"],
-            batch_stats=loaded["batch_stats"],
-            step=jnp.asarray(loaded["step"], jnp.int32),
+            params=raw["params"],
+            batch_stats=raw["batch_stats"],
+            step=jnp.asarray(raw["step"], jnp.int32),
         )
     return state, temporal, dn_state, prev_pose, int(state.step)

@@ -18,26 +18,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def streaming_eval(
-    model,
-    cfg,
-    variables,
-    dataset,
-    max_frames: Optional[int] = None,
-    show_dir: Optional[str] = None,
-    show_threshold: float = 0.3,
-    progress: bool = False,
-) -> Tuple[Dict[str, float], List[dict], List[str]]:
-    """Stream one shard of `dataset` through the model and score it.
+# jitted eval steps cached per model instance: mid-training eval calls
+# streaming_eval every eval_interval iterations, and rebuilding the jit
+# wrappers per call would recompile the full model each time (the model
+# object is the cache key; the strong reference pins its id)
+_JIT_CACHE: Dict[int, Tuple[Any, Any, Any]] = {}
 
-    Returns (metrics, per-frame predictions in global frame, tokens).
-    The temporal instance bank threads frame-to-frame exactly like
-    deployment streaming (reference tools/test.py:127-317).
-    """
-    from ..data.nuscenes_eval import evaluate_detections
-    from ..data.postprocess import boxes_lidar_to_global
-    from ..data.sampler import sequence_eval_shards
+
+def _jitted_steps(model, cfg):
     from ..models.decoder3d import decode_boxes3d
+
+    entry = _JIT_CACHE.get(id(model))
+    if entry is not None and entry[0] is model:
+        return entry[1], entry[2]
 
     def _select(out):
         dec = decode_boxes3d(
@@ -62,6 +55,32 @@ def streaming_eval(
                 temp2cur=t2c, train=False,
             )
         )
+
+    _JIT_CACHE[id(model)] = (model, cold_step, stream_step)
+    return cold_step, stream_step
+
+
+def streaming_eval(
+    model,
+    cfg,
+    variables,
+    dataset,
+    max_frames: Optional[int] = None,
+    show_dir: Optional[str] = None,
+    show_threshold: float = 0.3,
+    progress: bool = False,
+) -> Tuple[Dict[str, float], List[dict], List[str]]:
+    """Stream one shard of `dataset` through the model and score it.
+
+    Returns (metrics, per-frame predictions in global frame, tokens).
+    The temporal instance bank threads frame-to-frame exactly like
+    deployment streaming (reference tools/test.py:127-317).
+    """
+    from ..data.nuscenes_eval import evaluate_detections
+    from ..data.postprocess import boxes_lidar_to_global
+    from ..data.sampler import sequence_eval_shards
+
+    cold_step, stream_step = _jitted_steps(model, cfg)
 
     shard = sequence_eval_shards(dataset, 1)[0]
     if max_frames:

@@ -41,3 +41,51 @@ def test_s2d_stem_gradients_match():
     np.testing.assert_allclose(
         np.asarray(g_fast), np.asarray(g_plain), rtol=1e-4, atol=1e-4
     )
+
+
+def test_maxpool_formulation_matches_reduce_window():
+    import flax.linen as nn
+    from simpb_tpu.models.backbone import maxpool_3x3_s2
+
+    rng = np.random.default_rng(3)
+    for shape in [(2, 32, 48, 8), (1, 15, 21, 4), (3, 2, 2, 5)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        ref = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+        )
+        got = maxpool_3x3_s2(x)
+        assert got.shape == ref.shape, shape
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_maxpool_gradients_match():
+    import flax.linen as nn
+    from simpb_tpu.models.backbone import maxpool_3x3_s2
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 12, 14, 3)).astype(np.float32))
+    g_ref = jax.grad(
+        lambda v: nn.max_pool(
+            v, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+        ).sum()
+    )(x)
+    g_got = jax.grad(lambda v: maxpool_3x3_s2(v).sum())(x)
+    np.testing.assert_allclose(
+        np.asarray(g_got), np.asarray(g_ref), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_upsample2x_matches_resize():
+    from simpb_tpu.models.backbone import upsample2x_nearest
+
+    rng = np.random.default_rng(5)
+    for shape, tgt in [
+        ((2, 4, 11, 8), (8, 22)),   # exact-2x broadcast path
+        ((1, 5, 7, 4), (9, 13)),    # non-2x fallback path
+    ]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        ref = jax.image.resize(
+            x, shape[:1] + tgt + shape[3:], method="nearest"
+        )
+        got = upsample2x_nearest(x, tgt)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

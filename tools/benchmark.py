@@ -21,13 +21,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="r50-fast",
-                   choices=["r50", "r50-fast", "r101", "tiny"])
+                   choices=["r50", "r50-fast", "r101", "r101-fast", "tiny"])
     p.add_argument("--exact", action="store_true",
                    help="force exact MSDA sampling (windowed off)")
     p.add_argument("--patch", action="store_true",
                    help="force windowed (patch-mode) MSDA sampling")
     p.add_argument("--dfa-cap", type=int, default=None,
                    help="override dfa_gather_capacity (0 = uncapped)")
+    p.add_argument("--msda-sel", type=int, default=None,
+                   help="override msda_sel_levels (0 = all levels)")
     p.add_argument("--msda-cap", type=int, default=None,
                    help="override msda_gather_capacity (0 = uncapped)")
     p.add_argument("--batch-size", type=int, default=1,
@@ -45,6 +47,7 @@ def main():
         simpb_r50_704x256,
         simpb_r50_704x256_fast,
         simpb_r101_1408x512,
+        simpb_r101_1408x512_fast,
         simpb_tiny,
     )
     from simpb_tpu.utils.benchmark import run_benchmark
@@ -53,6 +56,7 @@ def main():
         "r50": simpb_r50_704x256,
         "r50-fast": simpb_r50_704x256_fast,
         "r101": simpb_r101_1408x512,
+        "r101-fast": simpb_r101_1408x512_fast,
         "tiny": simpb_tiny,
     }[args.config]()
     if not args.fp32:
@@ -72,6 +76,8 @@ def main():
         head = dataclasses.replace(
             head, msda_gather_capacity=args.msda_cap or None
         )
+    if args.msda_sel is not None:
+        head = dataclasses.replace(head, msda_sel_levels=args.msda_sel)
     cfg = dataclasses.replace(cfg, head=head)
 
     fps = run_benchmark(cfg, window=args.frames, batch_size=args.batch_size)
@@ -82,6 +88,7 @@ def main():
                 "msda_patch_mode": cfg.head.msda_patch_mode,
                 "dfa_gather_capacity": cfg.head.dfa_gather_capacity,
                 "msda_gather_capacity": cfg.head.msda_gather_capacity,
+                "msda_sel_levels": cfg.head.msda_sel_levels,
                 "batch_size": args.batch_size,
                 "six_cam_fps_per_chip": round(fps, 2),
             }

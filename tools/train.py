@@ -317,17 +317,24 @@ def main():
         for _ in range(start_iter):
             next(it)
         for _ in range(start_iter, max_iters):
-            prefetch.put(make_batch(next(it)))
+            batch = make_batch(next(it))
+            # snapshot the pose state AS OF this batch: the producer
+            # runs ahead of training, so the live `prev_pose` list
+            # belongs to future batches — checkpointing it would
+            # corrupt the first post-resume time_interval/temp2cur
+            prefetch.put((batch, list(prev_pose)))
         prefetch.put(None)
 
     threading.Thread(target=producer, daemon=True).start()
 
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
+    trained_pose = list(prev_pose)
     for i in range(start_iter, max_iters):
-        batch = prefetch.get()
-        if batch is None:
+        item = prefetch.get()
+        if item is None:
             break
+        batch, trained_pose = item
         batch = shard_batch(batch, mesh)
         state, temporal, dn_state, metrics = step_fn(
             state, batch, temporal, dn_state, key
@@ -352,7 +359,9 @@ def main():
             # full resume state: optimizer moments + the streaming
             # temporal/DN state (beyond the reference, which restarts
             # the stream cold on resume — SURVEY §5)
-            save_checkpoint(path, state, temporal, dn_state, prev_pose)
+            save_checkpoint(
+                path, state, temporal, dn_state, trained_pose
+            )
             print(f"saved {path}", flush=True)
         if args.eval_ann_file and (i + 1) % args.eval_interval == 0:
             run_eval(i + 1, state)
