@@ -109,10 +109,15 @@ class StemConv(nn.Module):
 def maxpool_3x3_s2(y: jnp.ndarray) -> jnp.ndarray:
     """3x3/s2/p1 max-pool via separable 3-tap maxes over stride-2 slices.
 
-    Exactly equals `nn.max_pool(y, (3,3), (2,2), p1)` (asserted in
-    tests/test_backbone.py) but avoids XLA:TPU's reduce_window lowering,
-    which measured 0.58 ms/frame vs 0.41 ms for this formulation at the
-    stem's [6,128,352,64] (tools/pool_study.py, RTT-corrected).
+    Forward exactly equals `nn.max_pool(y, (3,3), (2,2), p1)` (asserted
+    in tests/test_backbone.py) but avoids XLA:TPU's reduce_window
+    lowering, which measured 0.56 ms/frame vs 0.30 ms for this
+    formulation at the stem's [6,128,352,64] (tools/pool_study.py,
+    no-op-control-corrected). Gradient caveat: at exactly-tied window
+    maxima `jnp.maximum` splits the cotangent 50/50 while
+    select-and-scatter (and torch) route it to one element — so the
+    TRAIN path keeps nn.max_pool (ResNet.__call__) and this formulation
+    serves inference, where forwards are bit-identical.
     """
     neg = jnp.asarray(-jnp.inf, y.dtype)
     yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
@@ -159,7 +164,14 @@ class ResNet(nn.Module):
             dtype=self.dtype, name="bn1",
         )(x)
         x = nn.relu(x)
-        x = maxpool_3x3_s2(x)
+        if train:
+            # gradient parity with torch/reduce_window at tied maxima
+            # (see maxpool_3x3_s2 docstring); forwards are identical
+            x = nn.max_pool(
+                x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)]
+            )
+        else:
+            x = maxpool_3x3_s2(x)
 
         block_cls = Bottleneck
         if self.remat:

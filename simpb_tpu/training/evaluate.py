@@ -18,17 +18,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-# jitted eval steps cached per model instance: mid-training eval calls
-# streaming_eval every eval_interval iterations, and rebuilding the jit
-# wrappers per call would recompile the full model each time (the model
-# object is the cache key; the strong reference pins its id)
-_JIT_CACHE: Dict[int, Tuple[Any, Any, Any]] = {}
+# jitted eval steps cached for the mid-training eval loop (rebuilding
+# the jit wrappers per call would recompile the full model each
+# eval_interval). Keyed on the model instance AND the decode-relevant
+# cfg fields (a same-model call with different num_output/threshold
+# must not reuse stale steps); bounded to the most recent few entries
+# so sweeping many models (test suite, notebooks) cannot pin compiled
+# executables for the process lifetime.
+_JIT_CACHE: Dict[Tuple, Tuple[Any, Any, Any]] = {}
+_JIT_CACHE_MAX = 3
 
 
 def _jitted_steps(model, cfg):
     from ..models.decoder3d import decode_boxes3d
 
-    entry = _JIT_CACHE.get(id(model))
+    key = (id(model), cfg.head.num_output, cfg.head.score_threshold)
+    entry = _JIT_CACHE.get(key)
     if entry is not None and entry[0] is model:
         return entry[1], entry[2]
 
@@ -56,7 +61,9 @@ def _jitted_steps(model, cfg):
             )
         )
 
-    _JIT_CACHE[id(model)] = (model, cold_step, stream_step)
+    while len(_JIT_CACHE) >= _JIT_CACHE_MAX:
+        _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
+    _JIT_CACHE[key] = (model, cold_step, stream_step)
     return cold_step, stream_step
 
 

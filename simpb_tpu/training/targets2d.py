@@ -117,7 +117,6 @@ def trans_cost3d(
     gt_2d_3d_map: jnp.ndarray,  # [bs, cams, G2] 3D-GT index per 2D GT
     trans_matrix: jnp.ndarray,  # [bs, cams*K, A3] 2D->3D incidence
     num_gt3d: int,
-    eps: float = 1e-5,
 ) -> jnp.ndarray:
     """Fold the 2D matching costs into the 3D cost map
     (reference detection2d/coster.py:63-109 `trans_cost` — built but
@@ -160,7 +159,7 @@ def trans_cost3d(
     ) * gt_valid[..., None].astype(cost2d.dtype)
     map_oh = map_oh.reshape(bs, cams * g2, num_gt3d)
 
-    floor = max(eps, 1e-5)  # reference clamps at 1e-5 (coster.py:98-99)
+    floor = 1e-5  # reference clamps at 1e-5 (coster.py:98-99)
     per_gt3d = jnp.einsum("bqt,btg->bqg", ext, map_oh) / jnp.clip(
         map_oh.sum(1), floor
     )[:, None]

@@ -18,12 +18,15 @@ def timed(fn, x0, label):
     fn = jax.jit(fn)
 
     def scan_fn(x):
+        # fp32 carry: a bf16 carry makes s + 1e-3 a no-op (bf16 eps at
+        # 1.0 is ~4e-3), which would repeat bit-identical inputs every
+        # step — the tunnel-cache hazard CLAUDE.md warns about
         def body(s, _):
             y = fn((x * s).astype(x.dtype))
-            return s + jnp.bfloat16(1e-3), jnp.sum(
+            return s + jnp.float32(1e-3), jnp.sum(
                 y[-1] if isinstance(y, (list, tuple)) else y
             )
-        s, outs = jax.lax.scan(body, jnp.bfloat16(1.0), None, length=STEPS)
+        s, outs = jax.lax.scan(body, jnp.float32(1.0), None, length=STEPS)
         return outs
 
     sf = jax.jit(scan_fn)
@@ -115,6 +118,9 @@ def main():
         assert got.shape == ref.shape, (name, got.shape, ref.shape)
         print(f"max|rw-{name}| =", np.abs(ref - got).max())
 
+    # every timed call pays ONE dispatch RTT (~26 ms / STEPS ~ 0.5
+    # ms/step): subtract this no-op control from every row below
+    timed(lambda v: v * 1.0, y, "no-op control (mul+sum only)")
     timed(pool_rw, y, "pool: reduce_window")
     timed(pool_sep, y, "pool: separable full-res + subsample")
     timed(pool_sep2, y, "pool: separable stride-2 slices")

@@ -30,12 +30,15 @@ def timed(fn, x0, label):
     # scan with input variation: feed output back is shape-mismatched for
     # convs; instead scan over a per-step scale applied to the same input
     def scan_fn(x):
+        # fp32 carry: a bf16 carry makes s + 1e-3 a no-op (bf16 eps at
+        # 1.0 is ~4e-3), which would repeat bit-identical inputs every
+        # step — the tunnel-cache hazard CLAUDE.md warns about
         def body(s, _):
             y = fn((x * s).astype(x.dtype))
-            return s + jnp.bfloat16(1e-3), jnp.sum(
+            return s + jnp.float32(1e-3), jnp.sum(
                 y[-1] if isinstance(y, (list, tuple)) else y
             )
-        s, outs = jax.lax.scan(body, jnp.bfloat16(1.0), None, length=STEPS)
+        s, outs = jax.lax.scan(body, jnp.float32(1.0), None, length=STEPS)
         return outs
 
     sf = jax.jit(scan_fn)
@@ -117,6 +120,9 @@ def main():
     b = np.asarray(conv_im2col(x), np.float32)
     print("max|plain-im2col| =", np.abs(a - b).max())
 
+    # every timed call pays ONE dispatch RTT (~26 ms / STEPS ~ 0.5
+    # ms/step): subtract this no-op control from every row below
+    timed(lambda v: v * 1.0, x, "no-op control (mul+sum only)")
     timed(conv_plain, x, "a) plain 7x7/s2")
     timed(conv_s2d, x, "b) s2d + 4x4 conv")
     timed(conv_im2col, x, "c) s2d + im2col matmul")
