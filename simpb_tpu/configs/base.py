@@ -63,6 +63,10 @@ class HeadConfig:
     # per-query top-k level selection in patch-mode MSDA (0 = all
     # levels); train-native fast knob, see ops/sampling.py
     msda_sel_levels: int = 0
+    # patch-mode window (H, W). 8x8 serves any per-(query, level)
+    # sample spread <= 7 px exactly; 6x6 trades ~+0.5 ms/frame for a
+    # tighter clamp (measured, PERF.md — opt-in)
+    msda_patch_hw: Tuple[int, int] = (8, 8)
     # build ONE raw pair table per eval frame shared by every sampling
     # call (DFA directly; patch-mode MSDA via post-sampling value
     # projection — exact, see ops/sampling.py). Training always

@@ -27,6 +27,68 @@ RESNET_STAGE_BLOCKS = {
     101: (3, 4, 23, 3),
 }
 
+# 1x1 convs with at least this many output rows (N*H*W) take the
+# reshape-matmul path in Conv1x1 (see its docstring for measurements).
+MATMUL_MIN_ROWS = 128 * 1024
+
+
+class Conv1x1(nn.Module):
+    """1x1 conv that may lower as a matmul (param-compatible `nn.Conv`).
+
+    XLA:TPU's conv lowering runs LARGE-spatial 1x1 convs 3-4.6x slower
+    than the equivalent flat matmul at the same bytes (tools/conv_study.py
+    `--part stage1`: 1x1 256->64 @[6,352,128] 0.71 ms conv vs 0.15 ms
+    matmul, i.e. the matmul sits on the HBM floor). BUT a dot op placed
+    INSIDE the conv trunk makes XLA's layout assignment insert large
+    relayout copies around it and the whole trunk measures 3-7 ms SLOWER
+    (r101 trunk A/B: conv 12.9 ms, any 1x1-as-dot 15.5-19.5 ms, whole
+    stage1 as dots 20.2 ms) — so this module is used ONLY at the trunk
+    boundary (FPN laterals, where lateral_0-as-matmul measured -0.4 ms
+    at r101 with zero trunk impact), and only above a row-count
+    threshold that keeps r50-sized maps on the conv lowering. The
+    kernel param keeps the `[1, 1, in, out]` conv layout so torch
+    checkpoint conversion and `fuse_bn` are unchanged.
+    """
+
+    features: int
+    stride: int = 1
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+    matmul_min_rows: int | None = None  # None -> MATMUL_MIN_ROWS global
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, x.shape[-1], self.features),
+        )
+        x = x.astype(self.dtype)
+        if self.stride != 1:
+            x = x[:, :: self.stride, :: self.stride]
+        n, h, w, c = x.shape
+        min_rows = (
+            MATMUL_MIN_ROWS
+            if self.matmul_min_rows is None
+            else self.matmul_min_rows
+        )
+        if n * h * w >= min_rows:
+            k2 = kernel[0, 0].astype(self.dtype)
+            y = (x.reshape(n * h * w, c) @ k2).reshape(
+                n, h, w, self.features
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
 
 class Bottleneck(nn.Module):
     """Torch-style bottleneck: 1x1 -> 3x3(stride) -> 1x1(4x), residual."""
@@ -38,6 +100,9 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # NOTE: every trunk conv stays on the nn.Conv lowering — 1x1-as-
+        # matmul wins in isolation but poisons trunk-wide layout
+        # assignment (see Conv1x1 docstring); measured, do not "fix".
         conv = lambda f, k, s, name: nn.Conv(
             f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
             use_bias=False, dtype=self.dtype, name=name,
@@ -118,7 +183,19 @@ def maxpool_3x3_s2(y: jnp.ndarray) -> jnp.ndarray:
     select-and-scatter (and torch) route it to one element — so the
     TRAIN path keeps nn.max_pool (ResNet.__call__) and this formulation
     serves inference, where forwards are bit-identical.
+
+    Formulation is shape-adaptive: at the r50 stem shape [6,128,352,64]
+    the stride-2-slice separable maxes win (0.30 vs 0.56 ms for
+    reduce_window, tools/pool_study.py), but at the r101 stem shape
+    [6,256,704,64] the ordering FLIPS (slice-max 2.23 vs reduce_window
+    1.37 ms net, tools/conv_study.py --part stage1) — so large inputs
+    take the reduce_window lowering. Both are exact.
     """
+    if y.shape[1] * y.shape[2] >= 256 * 704:
+        return jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
     neg = jnp.asarray(-jnp.inf, y.dtype)
     yp = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
     n, hp, wp, c = yp.shape
@@ -203,8 +280,8 @@ class FPN(nn.Module):
     @nn.compact
     def __call__(self, inputs: Sequence[jnp.ndarray]):
         laterals = [
-            nn.Conv(
-                self.out_channels, (1, 1), use_bias=True, dtype=self.dtype,
+            Conv1x1(
+                self.out_channels, use_bias=True, dtype=self.dtype,
                 name=f"lateral_{i}",
             )(x)
             for i, x in enumerate(inputs)

@@ -17,7 +17,7 @@ TPU-native equivalents of reference models/group_attn.py:
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import functools
@@ -129,6 +129,10 @@ class QueryGroupMSDA(nn.Module):
     gather_capacity: Optional[int] = None
     # per-query top-k level selection (patch mode only; 0/None = all)
     sel_levels: Optional[int] = None
+    # window size (H, W) for patch-mode sampling. 8x8 covers any
+    # per-(query, level) sample spread <= 7 px exactly; 6x6 measured
+    # ~+0.5 ms/frame faster at r50 but clamps reach sooner (PERF.md)
+    patch_hw: Tuple[int, int] = (8, 8)
 
     @nn.compact
     def __call__(
@@ -218,6 +222,7 @@ class QueryGroupMSDA(nn.Module):
             sample_fn = functools.partial(
                 msda_patch, sel_levels=self.sel_levels,
                 pair_table=pair_table, raw_heads=post_proj,
+                patch_h=self.patch_hw[0], patch_w=self.patch_hw[1],
             )
         else:
             sample_fn = msda

@@ -214,6 +214,7 @@ class SimPBHead(nn.Module):
                         patch_mode=c.msda_patch_mode,
                         gather_capacity=c.msda_gather_capacity,
                         sel_levels=c.msda_sel_levels or None,
+                        patch_hw=c.msda_patch_hw,
                         dtype=self.dtype,
                         name=f"op{i}_qg_cross_attn",
                     )
