@@ -89,3 +89,60 @@ def test_upsample2x_matches_resize():
         )
         got = upsample2x_nearest(x, tgt)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_conv1x1_matmul_path_matches_conv():
+    """Conv1x1's matmul lowering must be numerically identical (fp32) to
+    the conv lowering, with nn.Conv-compatible params (same kernel/bias
+    shapes so torch_convert and fuse_bn are unaffected)."""
+    import flax.linen as nn
+    from simpb_tpu.models.backbone import Conv1x1
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 16)).astype(np.float32))
+    as_matmul = Conv1x1(24, use_bias=True, matmul_min_rows=1)
+    as_conv = Conv1x1(24, use_bias=True, matmul_min_rows=1 << 40)
+    variables = as_matmul.init(jax.random.PRNGKey(0), x)
+    k = variables["params"]["kernel"]
+    b = variables["params"]["bias"]
+    assert k.shape == (1, 1, 16, 24) and b.shape == (24,)
+    y_mm = as_matmul.apply(variables, x)
+    y_cv = as_conv.apply(variables, x)
+    y_ref = nn.Conv(24, (1, 1), use_bias=True).apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(y_mm), np.asarray(y_ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_cv), np.asarray(y_ref), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_conv1x1_stride_matches_conv():
+    import flax.linen as nn
+    from simpb_tpu.models.backbone import Conv1x1
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(1, 9, 11, 8)).astype(np.float32))
+    mod = Conv1x1(4, stride=2, matmul_min_rows=1)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(variables, x)
+    y_ref = nn.Conv(4, (1, 1), strides=(2, 2), use_bias=False).apply(
+        variables, x
+    )
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_maxpool_large_shape_branch_matches():
+    """The reduce_window branch (taken at r101 stem sizes) must agree
+    with nn.max_pool; exercised with the threshold shape exactly."""
+    import flax.linen as nn
+    from simpb_tpu.models.backbone import maxpool_3x3_s2
+
+    rng = np.random.default_rng(7)
+    # past the 256*704 row threshold but cheap: 1 cam, few channels
+    x = jnp.asarray(rng.normal(size=(1, 256, 704, 2)).astype(np.float32))
+    ref = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+    got = maxpool_3x3_s2(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
