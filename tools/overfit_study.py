@@ -1,0 +1,320 @@
+"""End-to-end learning evidence: overfit synthetic scenes, measure mAP.
+
+The stability runs (PERF.md) only show finite loss on NOISE images with
+random GT — nothing proves the full loop (targets, Hungarian matching,
+DN, gradients through DFA/MSDA sampling, box/cls/quality losses) can
+actually move detections onto objects. This study closes that gap
+without a dataset: each GT box is PAINTED into the six cameras (filled
+rectangle at its projected footprint, color keyed to its class), so the
+images fully determine the labels; a model that learns drives scene
+mAP -> 1 on the training scenes.
+
+Mirrors nothing in the reference (it has real data); the metric path is
+the reference's eval contract (`nuscenes_dataset.py:588-634`) via
+`data/nuscenes_eval.py::evaluate_detections`.
+
+Every step uses time_interval=5 s (> the 2 s stream-break threshold,
+reference instance_bank.py:118-125) so each scene is a cold start —
+temporal coherence is not part of what this study tests.
+
+Usage:
+  python tools/overfit_study.py [--steps 800] [--scenes 3] [--boxes 4]
+      [--hw 128 64] [--lr 4e-4] [--json out.json]
+"""
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+PALETTE = np.array(
+    [
+        [1.0, 0.2, 0.2], [0.2, 1.0, 0.2], [0.2, 0.4, 1.0], [1.0, 1.0, 0.2],
+        [1.0, 0.2, 1.0], [0.2, 1.0, 1.0], [1.0, 0.6, 0.2], [0.6, 0.2, 1.0],
+        [0.6, 1.0, 0.6], [0.9, 0.9, 0.9],
+    ],
+    np.float32,
+)
+
+
+def box_corners_np(box9):
+    """[9] raw GT (x,y,z,w,l,h,yaw,vx,vy) -> [8,3] world corners."""
+    x, y, z, w, l, h, yaw = box9[:7]
+    idx = np.arange(8)
+    template = (
+        np.stack([(idx // 4) % 2, (idx // 2) % 2, idx % 2], -1) - 0.5
+    )
+    corners = template * np.array([w, l, h])
+    c, s = np.cos(yaw), np.sin(yaw)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    return corners @ rot.T + np.array([x, y, z])
+
+
+def project_box(box9, proj, img_wh):
+    """2D bbox of the projected corners; None when not visible."""
+    corners = box_corners_np(box9)
+    pts = np.concatenate([corners, np.ones((8, 1))], -1) @ proj.T
+    depth = pts[:, 2]
+    if (depth < 0.5).any():
+        return None
+    uv = pts[:, :2] / depth[:, None]
+    lo, hi = uv.min(0), uv.max(0)
+    lo = np.maximum(lo, 0)
+    hi = np.minimum(hi, np.array(img_wh, np.float64))
+    if (hi - lo).min() < 2:  # degenerate / outside
+        return None
+    return np.array([lo[0], lo[1], hi[0], hi[1]], np.float32)
+
+
+def make_scene(seed, num_boxes, img_wh, proj):
+    """One scene: GT boxes + painted 6-camera images + 2D GT tensors."""
+    rng = np.random.default_rng(seed)
+    w, h = img_wh
+    cams = proj.shape[0]
+    G = num_boxes
+    boxes = np.zeros((G, 9), np.float32)
+    # spread around the ego so several cameras see something
+    r = rng.uniform(8, 22, G)
+    th = rng.uniform(-np.pi, np.pi, G)
+    boxes[:, 0] = r * np.cos(th)
+    boxes[:, 1] = r * np.sin(th)
+    boxes[:, 2] = 0.8
+    boxes[:, 3:6] = rng.uniform(1.8, 4.0, (G, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, G)
+    labels = rng.integers(0, len(PALETTE), G).astype(np.int32)
+
+    img = rng.normal(0, 0.05, size=(cams, h, w, 3)).astype(np.float32)
+    boxes2d = np.zeros((G, cams, 4), np.float32)
+    vis2d = np.zeros((G, cams), bool)
+    alphas = np.zeros((G, cams), np.float32)
+    for n in range(cams):
+        for g in range(G):
+            bb = project_box(boxes[g], proj[n], img_wh)
+            if bb is None:
+                continue
+            x0, y0, x1, y1 = (int(round(v)) for v in bb)
+            img[n, y0:y1, x0:x1] = PALETTE[labels[g]]
+            boxes2d[g, n] = bb
+            vis2d[g, n] = True
+            # alpha: box heading in the camera frame minus the viewing
+            # ray angle (dataset.py convention up to a constant — the
+            # network only needs consistency to overfit)
+            Rc = proj[n][:3, :3]
+            fwd = Rc @ np.array(
+                [-np.sin(boxes[g, 6]), np.cos(boxes[g, 6]), 0.0]
+            )
+            ctr = proj[n] @ np.array([*boxes[g, :3], 1.0])
+            alphas[g, n] = np.arctan2(fwd[0], fwd[2]) - np.arctan2(
+                ctr[0], ctr[2]
+            )
+    return dict(
+        boxes=boxes, labels=labels, img=img, boxes2d=boxes2d,
+        vis2d=vis2d, alphas=alphas,
+    )
+
+
+def scene_to_batch(scene, g_slots, g2_slots, cams, jnp):
+    """Pad a scene into the train_step batch contract (train_step.py)."""
+    G = scene["boxes"].shape[0]
+    boxes3d = np.zeros((1, g_slots, 9), np.float32)
+    boxes3d[0, :G] = scene["boxes"]
+    labels3d = np.zeros((1, g_slots), np.int32)
+    labels3d[0, :G] = scene["labels"]
+    valid3d = np.zeros((1, g_slots), bool)
+    valid3d[0, :G] = True
+
+    # per-camera 2D GT: pack each camera's visible boxes into g2 slots
+    boxes2d = np.zeros((1, cams, g2_slots, 4), np.float32)
+    labels2d = np.zeros((1, cams, g2_slots), np.int32)
+    alphas2d = np.zeros((1, cams, g2_slots), np.float32)
+    valid2d = np.zeros((1, cams, g2_slots), bool)
+    for n in range(cams):
+        k = 0
+        for g in range(G):
+            if scene["vis2d"][g, n] and k < g2_slots:
+                boxes2d[0, n, k] = scene["boxes2d"][g, n]
+                labels2d[0, n, k] = scene["labels"][g]
+                alphas2d[0, n, k] = scene["alphas"][g, n]
+                valid2d[0, n, k] = True
+                k += 1
+
+    vis_p3 = np.zeros((1, g_slots, cams), bool)
+    vis_p3[0, :G] = scene["vis2d"]
+    boxes2d_p3 = np.zeros((1, g_slots, cams, 4), np.float32)
+    boxes2d_p3[0, :G] = scene["boxes2d"]
+    labels2d_p3 = np.zeros((1, g_slots, cams), np.int32)
+    labels2d_p3[0, :G] = scene["labels"][:, None]
+    alphas_p3 = np.zeros((1, g_slots, cams), np.float32)
+    alphas_p3[0, :G] = scene["alphas"]
+
+    return {
+        "gt_boxes3d": jnp.asarray(boxes3d),
+        "gt_labels3d": jnp.asarray(labels3d),
+        "gt_valid3d": jnp.asarray(valid3d),
+        "gt_instance_id": jnp.asarray(
+            np.arange(g_slots, dtype=np.int32)[None]
+        ),
+        "gt_boxes2d": jnp.asarray(boxes2d),
+        "gt_labels2d": jnp.asarray(labels2d),
+        "gt_alphas2d": jnp.asarray(alphas2d),
+        "gt_valid2d": jnp.asarray(valid2d),
+        "gt_vis2d_per3d": jnp.asarray(vis_p3),
+        "gt_boxes2d_per3d": jnp.asarray(boxes2d_p3),
+        "gt_labels2d_per3d": jnp.asarray(labels2d_p3),
+        "gt_alphas2d_per3d": jnp.asarray(alphas_p3),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=800)
+    p.add_argument("--scenes", type=int, default=3)
+    p.add_argument("--boxes", type=int, default=4)
+    p.add_argument("--hw", type=int, nargs=2, default=[128, 64])
+    p.add_argument("--lr", type=float, default=4e-4)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--json", default=None)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from simpb_tpu.configs.base import TrainConfig, simpb_tiny
+    from simpb_tpu.data.nuscenes_eval import evaluate_detections
+    from simpb_tpu.models.decoder3d import decode_boxes3d
+    from simpb_tpu.models.detector import SimPB
+    from simpb_tpu.training.train_step import (
+        build_train_step, create_train_state, init_temporal)
+    from simpb_tpu.utils.synthetic import synthetic_rig
+
+    img_wh = tuple(args.hw)
+    cfg = dataclasses.replace(simpb_tiny(), input_size=img_wh)
+    g_slots = 8
+    g2_slots = 8
+    cams = cfg.head.num_cams
+    tc = TrainConfig(
+        lr=args.lr, warmup_iters=min(50, args.steps // 4),
+        num_iters_per_epoch=args.steps, num_epochs=1,
+    )
+    proj_np = synthetic_rig(1, image_wh=img_wh)[0]
+    scenes = [
+        make_scene(100 + i, args.boxes, img_wh, proj_np)
+        for i in range(args.scenes)
+    ]
+    proj = jnp.asarray(proj_np[None])
+    fx = float(proj_np[0, 0, 0])
+    static = {
+        "projection_mat": proj,
+        "time_interval": jnp.full((1,), 5.0),  # cold start every frame
+        "temp2cur": jnp.eye(4)[None],
+        "focal": jnp.full((1, cams), fx),
+    }
+    batches = []
+    for s in scenes:
+        b = scene_to_batch(s, g_slots, g2_slots, cams, jnp)
+        b["img"] = jnp.asarray(s["img"][None])
+        b.update(static)
+        batches.append(b)
+
+    model = SimPB(cfg)
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0),
+             "aug": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2),
+             "sampling": jax.random.PRNGKey(3)},
+            batches[0]["img"], proj, train=True,
+        )
+    )()
+
+    def evaluate(params_variables, tag):
+        apply = jax.jit(
+            lambda v, img: model.apply(
+                v, img, proj, temporal=temporal0,
+                time_interval=static["time_interval"],
+                temp2cur=static["temp2cur"], train=False,
+            )
+        )
+        preds, gts = [], []
+        for s, b in zip(scenes, batches):
+            out = apply(params_variables, b["img"])
+            det = decode_boxes3d(
+                out["classification"][-1], out["prediction"][-1],
+                quality=(out["quality"][-1] if out.get("quality")
+                         else None),
+                num_output=cfg.head.num_output,
+            )
+            preds.append({
+                "boxes": np.asarray(det["boxes_3d"][0], np.float64),
+                "scores": np.asarray(det["scores_3d"][0], np.float64),
+                "labels": np.asarray(det["labels_3d"][0]),
+            })
+            gts.append({
+                "boxes": s["boxes"].astype(np.float64),
+                "labels": s["labels"],
+            })
+        m = evaluate_detections(preds, gts)
+        print(f"[{tag}] mAP {m['mAP']:.3f}  NDS {m['NDS']:.3f}  "
+              f"mATE {m['mATE']:.3f}  mASE {m['mASE']:.3f}", flush=True)
+        return m
+
+    temporal0, _ = init_temporal(cfg, 1)
+
+    state = create_train_state(model, variables, tc)
+    del variables  # buffers are donated into `state` by the train step
+
+    def state_variables(st):
+        v = {"params": st.params}
+        if st.batch_stats:
+            v["batch_stats"] = st.batch_stats
+        return v
+
+    before = evaluate(state_variables(state), "before")
+
+    step = jax.jit(build_train_step(model, tc), donate_argnums=(0,))
+    temporal, dn_state = init_temporal(cfg, 1)
+    key = jax.random.PRNGKey(11)
+    t0 = time.time()
+    loss_first = loss_last = None
+    for i in range(args.steps):
+        key, sub = jax.random.split(key)
+        state, temporal, dn_state, metrics = step(
+            state, batches[i % len(batches)], temporal, dn_state, sub
+        )
+        if i == 0:
+            loss_first = float(metrics["loss"])
+        if (i + 1) % args.log_every == 0 or i == args.steps - 1:
+            loss_last = float(metrics["loss"])
+            print(f"step {i + 1:5d}  loss {loss_last:10.3f}  "
+                  f"({time.time() - t0:6.1f}s)", flush=True)
+            assert np.isfinite(loss_last), "loss diverged"
+
+    after = evaluate(state_variables(state), "after")
+
+    result = {
+        "steps": args.steps, "scenes": args.scenes,
+        "boxes_per_scene": args.boxes, "hw": list(img_wh),
+        "loss_first": loss_first, "loss_last": loss_last,
+        "mAP_before": before["mAP"], "mAP_after": after["mAP"],
+        "NDS_before": before["NDS"], "NDS_after": after["NDS"],
+        "mATE_after": after["mATE"],
+    }
+    print(json.dumps(result))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

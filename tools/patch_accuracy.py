@@ -26,10 +26,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(head_cfg, patch):
+def build(head_cfg, patch, patch_hw=(8, 8)):
     from simpb_tpu.models.head import SimPBHead
 
-    cfg = dataclasses.replace(head_cfg, msda_patch_mode=patch)
+    cfg = dataclasses.replace(
+        head_cfg, msda_patch_mode=patch, msda_patch_hw=tuple(patch_hw)
+    )
     return SimPBHead(cfg, dtype=jnp.float32)
 
 
@@ -54,7 +56,7 @@ def make_features(rng, shapes, num_cams, embed_dims, smooth_px: float):
 
 def run_pair(
     sigma_px: float, seed: int = 0, input_size=(704, 256),
-    smooth_px: float = 0.0,
+    smooth_px: float = 0.0, patch_hw=(8, 8),
 ):
     from simpb_tpu.configs.base import simpb_r50_704x256
     from simpb_tpu.models.decoder3d import decode_boxes3d
@@ -100,7 +102,7 @@ def run_pair(
                 / np.sqrt(hc.embed_dims)
             )
 
-    head_patch = build(hc, True)
+    head_patch = build(hc, True, patch_hw)
 
     def fwd(head):
         out = head.apply(
@@ -139,6 +141,7 @@ def run_pair(
     stats = {
         "sigma_px": sigma_px,
         "smooth_px": smooth_px,
+        "patch_hw": list(patch_hw),
         "cls_prob_mean_abs": float(jnp.abs(sig(ce) - sig(cp)).mean()),
         "cls_prob_max_abs": float(jnp.abs(sig(ce) - sig(cp)).max()),
         "center_mean_abs_m": float(
@@ -159,7 +162,17 @@ def run_pair(
 
 
 if __name__ == "__main__":
-    sigmas = [float(s) for s in sys.argv[1:]] or [0.0, 1.0, 2.0, 4.0]
-    for s in sigmas:
-        for smooth in (0.0, 2.0):
-            print(json.dumps(run_pair(s, smooth_px=smooth)), flush=True)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sigmas", nargs="*", type=float,
+                    default=[0.0, 1.0, 2.0, 4.0])
+    ap.add_argument("--hw", type=int, nargs=2, default=[8, 8],
+                    help="patch window (H, W)")
+    ap.add_argument("--smooth", type=float, nargs="*", default=[0.0, 2.0])
+    args = ap.parse_args()
+    for s in args.sigmas:
+        for smooth in args.smooth:
+            print(json.dumps(run_pair(
+                s, smooth_px=smooth, patch_hw=tuple(args.hw)
+            )), flush=True)
