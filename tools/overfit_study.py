@@ -71,11 +71,9 @@ def project_box(box9, proj, img_wh):
     return np.array([lo[0], lo[1], hi[0], hi[1]], np.float32)
 
 
-def make_scene(seed, num_boxes, img_wh, proj):
-    """One scene: GT boxes + painted 6-camera images + 2D GT tensors."""
+def sample_boxes(seed, num_boxes, with_velocity=False):
+    """Base GT: [G, 9] boxes (vx, vy in cols 7:9) + labels."""
     rng = np.random.default_rng(seed)
-    w, h = img_wh
-    cams = proj.shape[0]
     G = num_boxes
     boxes = np.zeros((G, 9), np.float32)
     # spread around the ego so several cameras see something
@@ -86,7 +84,20 @@ def make_scene(seed, num_boxes, img_wh, proj):
     boxes[:, 2] = 0.8
     boxes[:, 3:6] = rng.uniform(1.8, 4.0, (G, 3))
     boxes[:, 6] = rng.uniform(-np.pi, np.pi, G)
+    if with_velocity:
+        boxes[:, 7:9] = rng.uniform(-2.0, 2.0, (G, 2))
     labels = rng.integers(0, len(PALETTE), G).astype(np.int32)
+    return boxes, labels
+
+
+def make_scene(seed, num_boxes, img_wh, proj, boxes=None, labels=None):
+    """One scene: GT boxes + painted 6-camera images + 2D GT tensors."""
+    rng = np.random.default_rng(seed)
+    w, h = img_wh
+    cams = proj.shape[0]
+    if boxes is None:
+        boxes, labels = sample_boxes(seed, num_boxes)
+    G = boxes.shape[0]
 
     img = rng.normal(0, 0.05, size=(cams, h, w, 3)).astype(np.float32)
     boxes2d = np.zeros((G, cams, 4), np.float32)
@@ -116,6 +127,23 @@ def make_scene(seed, num_boxes, img_wh, proj):
         boxes=boxes, labels=labels, img=img, boxes2d=boxes2d,
         vis2d=vis2d, alphas=alphas,
     )
+
+
+def make_sequence(seed, num_boxes, img_wh, proj, seq_len, dt=0.5):
+    """`seq_len` frames of boxes moving at constant velocity (the
+    motion is the ONLY source of velocity information — per-frame
+    images are static snapshots, so predicting vx/vy requires the
+    temporal pathway)."""
+    base, labels = sample_boxes(seed, num_boxes, with_velocity=True)
+    frames = []
+    for t in range(seq_len):
+        b = base.copy()
+        b[:, :2] += b[:, 7:9] * dt * t
+        frames.append(
+            make_scene(seed * 1000 + t, num_boxes, img_wh, proj,
+                       boxes=b, labels=labels)
+        )
+    return frames
 
 
 def scene_to_batch(scene, g_slots, g2_slots, cams, jnp):
@@ -180,6 +208,12 @@ def main():
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--json", default=None)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--temporal", action="store_true",
+                   help="boxes move at constant velocity; stream "
+                        "sequences with dt=0.5 (tests the temporal "
+                        "pathway: velocity + instance-id tracking)")
+    p.add_argument("--seq-len", type=int, default=6)
+    p.add_argument("--dt", type=float, default=0.5)
     args = p.parse_args()
 
     if args.cpu:
@@ -208,24 +242,40 @@ def main():
         num_iters_per_epoch=args.steps, num_epochs=1,
     )
     proj_np = synthetic_rig(1, image_wh=img_wh)[0]
-    scenes = [
-        make_scene(100 + i, args.boxes, img_wh, proj_np)
-        for i in range(args.scenes)
-    ]
     proj = jnp.asarray(proj_np[None])
     fx = float(proj_np[0, 0, 0])
     static = {
         "projection_mat": proj,
-        "time_interval": jnp.full((1,), 5.0),  # cold start every frame
         "temp2cur": jnp.eye(4)[None],
         "focal": jnp.full((1, cams), fx),
     }
-    batches = []
-    for s in scenes:
-        b = scene_to_batch(s, g_slots, g2_slots, cams, jnp)
-        b["img"] = jnp.asarray(s["img"][None])
+
+    def build_batch(scene, dt_value):
+        b = scene_to_batch(scene, g_slots, g2_slots, cams, jnp)
+        b["img"] = jnp.asarray(scene["img"][None])
+        b["time_interval"] = jnp.full((1,), dt_value)
         b.update(static)
-        batches.append(b)
+        return b
+
+    if args.temporal:
+        # sequences of moving boxes; dt=5 at frame 0 breaks the stream
+        sequences = [
+            make_sequence(100 + i, args.boxes, img_wh, proj_np,
+                          args.seq_len, args.dt)
+            for i in range(args.scenes)
+        ]
+        scenes = [fr for seq in sequences for fr in seq]
+        batches = [
+            build_batch(fr, 5.0 if t == 0 else args.dt)
+            for seq in sequences
+            for t, fr in enumerate(seq)
+        ]
+    else:
+        scenes = [
+            make_scene(100 + i, args.boxes, img_wh, proj_np)
+            for i in range(args.scenes)
+        ]
+        batches = [build_batch(s, 5.0) for s in scenes]
 
     model = SimPB(cfg)
     variables = jax.jit(
@@ -240,33 +290,63 @@ def main():
 
     def evaluate(params_variables, tag):
         apply = jax.jit(
-            lambda v, img: model.apply(
-                v, img, proj, temporal=temporal0,
-                time_interval=static["time_interval"],
+            lambda v, img, temporal, dt: model.apply(
+                v, img, proj, temporal=temporal, time_interval=dt,
                 temp2cur=static["temp2cur"], train=False,
             )
         )
         preds, gts = [], []
+        track_hits, track_total = 0, 0
+        temporal = temporal0
+        prev_match = {}  # gt slot -> predicted instance id
         for s, b in zip(scenes, batches):
-            out = apply(params_variables, b["img"])
+            out = apply(params_variables, b["img"], temporal,
+                        b["time_interval"])
+            temporal = out["temporal_state"]
             det = decode_boxes3d(
                 out["classification"][-1], out["prediction"][-1],
+                instance_id=(temporal.instance_id if args.temporal
+                             else None),
                 quality=(out["quality"][-1] if out.get("quality")
                          else None),
                 num_output=cfg.head.num_output,
             )
-            preds.append({
+            pred = {
                 "boxes": np.asarray(det["boxes_3d"][0], np.float64),
                 "scores": np.asarray(det["scores_3d"][0], np.float64),
                 "labels": np.asarray(det["labels_3d"][0]),
-            })
+            }
+            preds.append(pred)
             gts.append({
                 "boxes": s["boxes"].astype(np.float64),
                 "labels": s["labels"],
             })
+            if args.temporal:
+                # tracking: the highest-score pred within 2 m of each GT
+                # must keep its instance id across consecutive frames
+                if float(b["time_interval"][0]) > 2.0:
+                    prev_match = {}
+                ids = np.asarray(det["instance_ids"][0])
+                cur_match = {}
+                for g, gt_box in enumerate(s["boxes"]):
+                    d = np.linalg.norm(
+                        pred["boxes"][:, :2] - gt_box[None, :2], axis=-1
+                    )
+                    cand = np.nonzero(d < 2.0)[0]
+                    if len(cand):
+                        cur_match[g] = int(ids[cand[0]])
+                for g, iid in cur_match.items():
+                    if g in prev_match:
+                        track_total += 1
+                        track_hits += int(prev_match[g] == iid)
+                prev_match = cur_match
         m = evaluate_detections(preds, gts)
+        if args.temporal and track_total:
+            m["track_consistency"] = track_hits / track_total
         print(f"[{tag}] mAP {m['mAP']:.3f}  NDS {m['NDS']:.3f}  "
-              f"mATE {m['mATE']:.3f}  mASE {m['mASE']:.3f}", flush=True)
+              f"mATE {m['mATE']:.3f}  mAVE {m['mAVE']:.3f}"
+              + (f"  track {m.get('track_consistency', float('nan')):.3f}"
+                 if args.temporal else ""), flush=True)
         return m
 
     temporal0, _ = init_temporal(cfg, 1)
@@ -305,11 +385,20 @@ def main():
     result = {
         "steps": args.steps, "scenes": args.scenes,
         "boxes_per_scene": args.boxes, "hw": list(img_wh),
+        "temporal": args.temporal,
         "loss_first": loss_first, "loss_last": loss_last,
         "mAP_before": before["mAP"], "mAP_after": after["mAP"],
         "NDS_before": before["NDS"], "NDS_after": after["NDS"],
-        "mATE_after": after["mATE"],
+        "mATE_after": after["mATE"], "mAVE_after": after["mAVE"],
     }
+    if args.temporal:
+        result["track_consistency_before"] = before.get(
+            "track_consistency"
+        )
+        result["track_consistency_after"] = after.get(
+            "track_consistency"
+        )
+        result["seq_len"] = args.seq_len
     print(json.dumps(result))
     if args.json:
         with open(args.json, "w") as f:
