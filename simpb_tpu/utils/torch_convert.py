@@ -299,3 +299,31 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig):
     sd = ckpt.get("state_dict", ckpt)
     sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
     return torch_to_flax(sd, cfg)
+
+
+def load_pretrained_backbone(path: str, cfg: ModelConfig):
+    """ImageNet-pretrained ResNet .pth -> backbone-only (params, stats).
+
+    Accepts the three naming layouts a user actually has: plain
+    torchvision `resnet50/101` state_dicts (`conv1.weight`,
+    `layer1.0.conv1.weight`, ...), mmcv/mmdet detector checkpoints
+    (`backbone.layer1...`, e.g. the nuImages-pretrained weights the
+    reference's uimg config starts from, config:84 `load_from`), and
+    already-prefixed `img_backbone.*` keys. Classifier heads
+    (`fc.weight` etc.) and non-backbone branches are ignored by the
+    mapping. Merge the result over a fresh init with `merge_params`.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu")
+    sd = ckpt.get("state_dict", ckpt)
+    renamed = {}
+    for k, v in sd.items():
+        if not hasattr(v, "numpy"):
+            continue
+        for prefix in ("img_backbone.", "backbone.", ""):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+                break
+        renamed[f"img_backbone.{k}"] = v.numpy()
+    return torch_to_flax(renamed, cfg)

@@ -102,7 +102,7 @@ def test_train_multidevice_with_inprocess_eval(tmp_path):
             "--eval-ann-file", pkl, "--eval-interval", "2",
             "--eval-frames", "2",
         ],
-        capture_output=True, text=True, env=env, timeout=900,
+        capture_output=True, text=True, env=env, timeout=1800,
     )
     assert train.returncode == 0, train.stderr[-3000:]
     assert "loss" in train.stdout
@@ -126,7 +126,7 @@ def test_train_then_eval_cli(tmp_path):
             "--ckpt-interval", "2", "--work-dir", str(work),
             "--src-h", str(SRC_H), "--src-w", str(SRC_W),
         ],
-        capture_output=True, text=True, env=env, timeout=900,
+        capture_output=True, text=True, env=env, timeout=1800,
     )
     assert train.returncode == 0, train.stderr[-3000:]
     assert "loss" in train.stdout
@@ -141,7 +141,7 @@ def test_train_then_eval_cli(tmp_path):
             "--max-frames", "3",
             "--src-h", str(SRC_H), "--src-w", str(SRC_W),
         ],
-        capture_output=True, text=True, env=env, timeout=900,
+        capture_output=True, text=True, env=env, timeout=1800,
     )
     assert test.returncode == 0, test.stderr[-3000:]
     assert '"mAP"' in test.stdout and '"NDS"' in test.stdout, test.stdout

@@ -84,3 +84,53 @@ def test_mapping_has_no_duplicate_targets():
     assert len(torch_keys) == len(set(torch_keys))
     flax_paths = ["/".join(f) + ":" + k for _, f, k in mapping]
     assert len(flax_paths) == len(set(flax_paths))
+
+
+def test_load_pretrained_backbone_naming_variants(tmp_path):
+    """torchvision / mmdet / img_backbone key layouts all load the
+    backbone; classifier-head keys are ignored."""
+    import torch
+
+    from simpb_tpu.utils.torch_convert import load_pretrained_backbone
+
+    cfg = tiny_cfg()
+    model = SimPB(cfg)
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.normal(size=(1, 6, 32, 64, 3)).astype(np.float32))
+    proj = jnp.asarray(
+        np.tile(np.eye(4, dtype=np.float32), (1, 6, 1, 1)) * 50.0
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2), "sampling": jax.random.PRNGKey(3)},
+        img, proj, train=True,
+    )
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables.get("batch_stats", {}))
+    sd = flax_to_torch(params, stats, cfg)
+    backbone_sd = {
+        k[len("img_backbone."):]: torch.from_numpy(np.array(v))
+        for k, v in sd.items() if k.startswith("img_backbone.")
+    }
+    n_backbone_leaves = len(flatten(params["img_backbone"]))
+
+    for layout in ("torchvision", "mmdet", "img_backbone"):
+        prefix = {"torchvision": "", "mmdet": "backbone.",
+                  "img_backbone": "img_backbone."}[layout]
+        torch_sd = {prefix + k: v for k, v in backbone_sd.items()}
+        # torchvision classifier head must be silently dropped
+        torch_sd["fc.weight"] = torch.zeros((1000, 2048))
+        torch_sd["fc.bias"] = torch.zeros((1000,))
+        path = tmp_path / f"{layout}.pth"
+        torch.save({"state_dict": torch_sd} if layout == "mmdet"
+                   else torch_sd, path)
+
+        loaded_p, loaded_s = load_pretrained_backbone(str(path), cfg)
+        assert set(loaded_p) == {"img_backbone"}, layout
+        flat = flatten(loaded_p["img_backbone"])
+        assert len(flat) == n_backbone_leaves, layout
+        for key, val in flat.items():
+            np.testing.assert_allclose(
+                val, flatten(params["img_backbone"])[key], atol=0,
+                err_msg=f"{layout}:{key}")
+        assert set(loaded_s) == {"img_backbone"}, layout

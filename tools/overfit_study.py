@@ -208,6 +208,15 @@ def main():
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--json", default=None)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--fast", action="store_true",
+                   help="train with the fast-config sampling semantics "
+                        "(windowed MSDA + top-2 level selection) — the "
+                        "train-native accuracy evidence for the "
+                        "flagship `_fast` configs")
+    p.add_argument("--patch-hw", type=int, nargs=2, default=[4, 4],
+                   help="window (h, w) for --fast; the default (4,4) "
+                        "covers the same fraction of the tiny level-0 "
+                        "map as the flagship 8x8 does at 704x256")
     p.add_argument("--temporal", action="store_true",
                    help="boxes move at constant velocity; stream "
                         "sequences with dt=0.5 (tests the temporal "
@@ -234,6 +243,16 @@ def main():
 
     img_wh = tuple(args.hw)
     cfg = dataclasses.replace(simpb_tiny(), input_size=img_wh)
+    if args.fast:
+        cfg = dataclasses.replace(
+            cfg,
+            head=dataclasses.replace(
+                cfg.head,
+                msda_patch_mode=True,
+                msda_patch_hw=tuple(args.patch_hw),
+                msda_sel_levels=2,
+            ),
+        )
     g_slots = 8
     g2_slots = 8
     cams = cfg.head.num_cams
@@ -386,6 +405,7 @@ def main():
         "steps": args.steps, "scenes": args.scenes,
         "boxes_per_scene": args.boxes, "hw": list(img_wh),
         "temporal": args.temporal,
+        "fast": args.fast,
         "loss_first": loss_first, "loss_last": loss_last,
         "mAP_before": before["mAP"], "mAP_after": after["mAP"],
         "NDS_before": before["NDS"], "NDS_after": after["NDS"],

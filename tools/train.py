@@ -49,6 +49,11 @@ def parse_args():
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--load-from", default=None,
                    help="torch .pth or orbax checkpoint to initialise from")
+    p.add_argument("--pretrained-backbone", default=None,
+                   help="ImageNet-pretrained ResNet .pth (torchvision or "
+                        "mmdet naming) to initialise the backbone only — "
+                        "the reference's `pretrained='torchvision://"
+                        "resnet50'` (config:85)")
     p.add_argument("--resume-from", default=None,
                    help="orbax checkpoint dir to resume params+step from")
     p.add_argument("--anchors", default=None,
@@ -154,6 +159,19 @@ def main():
         variables["params"]["head"]["anchor"] = anchors[
             : cfg.head.num_anchor
         ]
+    if args.pretrained_backbone:
+        from simpb_tpu.utils.torch_convert import (
+            load_pretrained_backbone,
+            merge_params,
+        )
+
+        loaded_p, loaded_s = load_pretrained_backbone(
+            args.pretrained_backbone, cfg
+        )
+        variables["params"] = merge_params(variables["params"], loaded_p)
+        variables["batch_stats"] = merge_params(
+            variables.get("batch_stats", {}), loaded_s
+        )
     if args.load_from:
         from simpb_tpu.utils.torch_convert import (
             load_torch_checkpoint,
