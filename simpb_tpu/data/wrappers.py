@@ -9,10 +9,11 @@ CBGS/Repeat/Concat config has the machinery.
 
 All wrappers duck-type `NuScenesDataset` (`data/dataset.py`): they
 expose `__len__`, `flag` (sequence-group ids consumed by the samplers,
-`data/sampler.py`), `CLASSES`, `test_mode`, `get_augmentation`,
-`get_sample(idx, ...)` and `get_annotations(idx)` by index remapping,
-so they compose with `GroupStreamSampler` / `group_epoch_indices` /
-`sequence_eval_shards` unchanged.
+`data/sampler.py`), `data_infos`, `CLASSES`, `test_mode`,
+`get_augmentation`, `get_sample(idx, ...)` and `get_annotations(idx)`
+by index remapping, so they compose with `GroupStreamSampler` /
+`group_epoch_indices` / `sequence_eval_shards` unchanged, and nest
+(e.g. `ClassBalancedDataset(ConcatDataset([...]))`).
 """
 from __future__ import annotations
 
@@ -30,6 +31,12 @@ class _Remapped:
         self.flag = np.asarray(flag, np.int64)
         self.CLASSES = dataset.CLASSES
         self.test_mode = dataset.test_mode
+        self.use_valid_flag = getattr(dataset, "use_valid_flag", True)
+        # reference list (cheap): samplers index `data_infos` directly
+        # (e.g. sequence_eval_shards, data/sampler.py:146)
+        self.data_infos = [
+            dataset.data_infos[int(i)] for i in self.indices
+        ]
 
     def __len__(self):
         return len(self.indices)
@@ -66,6 +73,12 @@ class ConcatDataset:
         self.datasets = list(datasets)
         self.CLASSES = self.datasets[0].CLASSES
         self.test_mode = self.datasets[0].test_mode
+        self.use_valid_flag = getattr(
+            self.datasets[0], "use_valid_flag", True
+        )
+        self.data_infos = [
+            info for d in self.datasets for info in d.data_infos
+        ]
         lens = [len(d) for d in self.datasets]
         self.cum = np.cumsum([0] + lens)
         flags, offset = [], 0
@@ -117,6 +130,17 @@ class ClassBalancedDataset(_Remapped):
     `len(S_c) * (1/num_classes) / f_c` samples from S_c (f_c = the
     class's share of all (sample, class) memberships), matching
     mmdet3d `CBGSDataset._get_sample_indices`. Deterministic per seed.
+
+    mmdet3d emits the draws in raw `rng.choice` order — fine for its
+    single-frame detectors, but this model streams sequences: the group
+    samplers walk each group's frames in array order, so scrambled or
+    interleaved duplicates would corrupt the temporal state. The draw
+    multiset is therefore reorganised into temporally-ordered ROUNDS
+    per original sequence (round r = the frames drawn more than r
+    times, in timestamp order), each round under a fresh group id — a
+    duplicated frame becomes an extra coherent (sub-)sequence pass,
+    indistinguishable from the stream sampler's own `skip_prob`
+    subsequences.
     """
 
     def __init__(self, dataset, seed: int = 0):
@@ -127,16 +151,36 @@ class ClassBalancedDataset(_Remapped):
                 class_sample_idxs[c].append(i)
         total = sum(len(v) for v in class_sample_idxs.values())
         rng = np.random.default_rng(seed)
-        indices: List[int] = []
+        draws: List[int] = []
         frac = 1.0 / num_cls
         for c, idxs in class_sample_idxs.items():
             if not idxs:
                 continue
             ratio = frac / (len(idxs) / total)
             take = int(len(idxs) * ratio)
-            indices.extend(
+            draws.extend(
                 rng.choice(np.asarray(idxs, np.int64), take).tolist()
             )
-        indices = np.asarray(indices, np.int64)
-        flag = np.asarray(dataset.flag, np.int64)[indices]
-        super().__init__(dataset, indices, flag)
+        counts = {}
+        for i in draws:
+            counts[i] = counts.get(i, 0) + 1
+        base_flag = np.asarray(dataset.flag, np.int64)
+        ordered: List[int] = []
+        flags: List[int] = []
+        next_flag = 0
+        for g in np.unique(base_flag):
+            members = np.where(base_flag == g)[0]  # temporal order
+            r = 0
+            while True:
+                rnd = [int(i) for i in members if counts.get(int(i), 0) > r]
+                if not rnd:
+                    break
+                ordered.extend(rnd)
+                flags.extend([next_flag] * len(rnd))
+                next_flag += 1
+                r += 1
+        super().__init__(
+            dataset,
+            np.asarray(ordered, np.int64),
+            np.asarray(flags, np.int64),
+        )

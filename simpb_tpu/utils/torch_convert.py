@@ -321,9 +321,27 @@ def load_pretrained_backbone(path: str, cfg: ModelConfig):
     for k, v in sd.items():
         if not hasattr(v, "numpy"):
             continue
+        # DataParallel / EMA wrappers first, then the detector prefix
+        for wrapper in ("module.", "model.", "ema."):
+            if k.startswith(wrapper):
+                k = k[len(wrapper):]
         for prefix in ("img_backbone.", "backbone.", ""):
             if k.startswith(prefix):
                 k = k[len(prefix):]
                 break
         renamed[f"img_backbone.{k}"] = v.numpy()
-    return torch_to_flax(renamed, cfg)
+    params, stats = torch_to_flax(renamed, cfg)
+
+    def count(tree):
+        return sum(
+            count(v) if isinstance(v, dict) else 1 for v in tree.values()
+        )
+
+    if count(params) == 0:
+        raise ValueError(
+            f"no backbone parameters recognised in {path} — expected "
+            "torchvision ResNet keys (conv1.weight, layer1.0...), an "
+            "mmdet detector (backbone.*), or img_backbone.* "
+            f"(found keys like {list(sd)[:3]})"
+        )
+    return params, stats

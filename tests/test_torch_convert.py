@@ -134,3 +134,27 @@ def test_load_pretrained_backbone_naming_variants(tmp_path):
                 val, flatten(params["img_backbone"])[key], atol=0,
                 err_msg=f"{layout}:{key}")
         assert set(loaded_s) == {"img_backbone"}, layout
+
+
+def test_load_pretrained_backbone_rejects_unknown_layout(tmp_path):
+    """A checkpoint whose keys match no known layout must raise, not
+    silently return empty trees (which would train a random backbone
+    while the user believes it is pretrained). DataParallel 'module.'
+    wrappers are stripped, not rejected."""
+    import pytest
+    import torch
+
+    from simpb_tpu.utils.torch_convert import load_pretrained_backbone
+
+    cfg = tiny_cfg()
+    bad = tmp_path / "bad.pth"
+    torch.save({"encoder.stem.weight": torch.zeros(1)}, bad)
+    with pytest.raises(ValueError, match="no backbone parameters"):
+        load_pretrained_backbone(str(bad), cfg)
+
+    good = tmp_path / "dp.pth"
+    torch.save(
+        {"module.backbone.conv1.weight": torch.zeros(64, 3, 7, 7)}, good
+    )
+    p, _ = load_pretrained_backbone(str(good), cfg)
+    assert "conv1" in p["img_backbone"]

@@ -94,24 +94,24 @@ def main():
     nv = jax.jit(lambda: neck.init(jax.random.PRNGKey(1), feats0))()
 
     if args.part == "trunkab":
-        # same-process A/B: whole trunk with 1x1-as-matmul on vs off
-        import simpb_tpu.models.backbone as bb
-
+        # same-process A/B: FPN lateral 1x1s on the conv lowering vs the
+        # reshape-matmul path (Conv1x1 routes on the MATMUL_MIN_ROWS
+        # threshold at trace time; params are layout-identical so the
+        # same `nv` serves both rows)
         import simpb_tpu.models.backbone as _bb
-        _bb.MATMUL_FORM = "einsum"
-        for sites, tag in (
-            (set(), "none"),
-            ({"lateral_0"}, "lat0"),
-            ({"lateral_0", "lateral_1"}, "lat01"),
-        ):
-            _bb.MATMUL_MIN_ROWS = 1024
-            _bb.MATMUL_SITES = sites
-            timed(
-                lambda x: neck.apply(nv, trunk.apply(tv, x, train=False)),
-                img, f"trunk+FPN 1x1-dot sites={tag}",
-            )
-        _bb.MATMUL_SITES = None
-        _bb.MATMUL_FORM = "reshape"
+
+        orig_min_rows = _bb.MATMUL_MIN_ROWS
+        try:
+            for min_rows, tag in ((1 << 60, "conv"), (1024, "matmul")):
+                _bb.MATMUL_MIN_ROWS = min_rows
+                timed(
+                    lambda x: neck.apply(
+                        nv, trunk.apply(tv, x, train=False)
+                    ),
+                    img, f"trunk+FPN laterals={tag}",
+                )
+        finally:
+            _bb.MATMUL_MIN_ROWS = orig_min_rows
 
     if args.part in ("all", "stages"):
         print("-- cumulative stages (subtract previous row for deltas) --")

@@ -19,7 +19,7 @@ temporal coherence is not part of what this study tests.
 
 Usage:
   python tools/overfit_study.py [--steps 800] [--scenes 3] [--boxes 4]
-      [--hw 128 64] [--lr 4e-4] [--json out.json]
+      [--wh 128 64] [--lr 4e-4] [--json out.json]
 """
 import argparse
 import dataclasses
@@ -203,7 +203,8 @@ def main():
     p.add_argument("--steps", type=int, default=800)
     p.add_argument("--scenes", type=int, default=3)
     p.add_argument("--boxes", type=int, default=4)
-    p.add_argument("--hw", type=int, nargs=2, default=[128, 64])
+    p.add_argument("--wh", type=int, nargs=2, default=[128, 64],
+                   help="image (W, H) — width first, matching ModelConfig.input_size")
     p.add_argument("--lr", type=float, default=4e-4)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--json", default=None)
@@ -241,7 +242,7 @@ def main():
         build_train_step, create_train_state, init_temporal)
     from simpb_tpu.utils.synthetic import synthetic_rig
 
-    img_wh = tuple(args.hw)
+    img_wh = tuple(args.wh)
     cfg = dataclasses.replace(simpb_tiny(), input_size=img_wh)
     if args.fast:
         cfg = dataclasses.replace(
@@ -403,7 +404,7 @@ def main():
 
     result = {
         "steps": args.steps, "scenes": args.scenes,
-        "boxes_per_scene": args.boxes, "hw": list(img_wh),
+        "boxes_per_scene": args.boxes, "wh": list(img_wh),
         "temporal": args.temporal,
         "fast": args.fast,
         "loss_first": loss_first, "loss_last": loss_last,

@@ -168,7 +168,9 @@ if __name__ == "__main__":
     ap.add_argument("sigmas", nargs="*", type=float,
                     default=[0.0, 1.0, 2.0, 4.0])
     ap.add_argument("--hw", type=int, nargs=2, default=[8, 8],
-                    help="patch window (H, W)")
+                    help="MSDA patch window (H, W) — height first, "
+                         "matching HeadConfig.msda_patch_hw; NOT an "
+                         "image size")
     ap.add_argument("--smooth", type=float, nargs="*", default=[0.0, 2.0])
     args = ap.parse_args()
     for s in args.sigmas:
