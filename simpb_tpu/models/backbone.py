@@ -301,8 +301,11 @@ class FPN(nn.Module):
         # num_outs == len(inputs) for the released configs (4 levels); the
         # "on_output" extra-conv path (mmdet FPN) kicks in only when more
         # outputs than inputs are requested.
-        for i in range(len(outs), self.num_outs):
-            src = nn.relu(outs[-1])
+        num_inputs = len(outs)
+        for i in range(num_inputs, self.num_outs):
+            # mmdet applies relu_before_extra_convs only from the SECOND
+            # extra conv onward; the first takes outs[-1] un-activated
+            src = outs[-1] if i == num_inputs else nn.relu(outs[-1])
             outs.append(
                 nn.Conv(
                     self.out_channels, (3, 3), strides=(2, 2),

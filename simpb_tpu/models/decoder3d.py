@@ -29,10 +29,11 @@ def decode_boxes3d(
 ) -> Dict[str, jnp.ndarray]:
     """Returns fixed-shape top-k detections per sample.
 
-    Keys: boxes [bs,K,10] (decoded), scores [bs,K], labels [bs,K],
-    valid [bs,K] (score-threshold mask), cls_scores [bs,K] (pre-quality
-    scores), instance_ids [bs,K] (when tracking), anchor_idx [bs,K]
-    (index into the query set, used for host-side 2D association).
+    Keys: boxes_3d [bs,K,10] (decoded), scores_3d [bs,K], labels_3d
+    [bs,K], valid [bs,K] (score-threshold mask), cls_scores [bs,K]
+    (pre-quality scores), instance_ids [bs,K] (when tracking),
+    anchor_idx [bs,K] (index into the query set, used for host-side 2D
+    association).
     """
     scores = jax.nn.sigmoid(cls_scores)
     bs, num_pred, num_cls = scores.shape

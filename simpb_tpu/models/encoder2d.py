@@ -96,10 +96,11 @@ def _packed_pos_and_refs(
     )
 
 
-class MSDASelfAttention(nn.Module):
-    """mmcv `MultiScaleDeformableAttention` where the queries ARE the
-    packed feature slots (encoder self-attention): each slot samples
-    around its own pixel centre in every level."""
+class MSDAAttention(nn.Module):
+    """mmcv `MultiScaleDeformableAttention` (one implementation for the
+    encoder's self-attention — queries ARE the packed feature slots —
+    and the decoder's cross-attention over the encoder memory; they
+    differ only in reference-point rank and optional query_pos)."""
 
     embed_dims: int = 256
     num_heads: int = 8
@@ -111,16 +112,17 @@ class MSDASelfAttention(nn.Module):
     @nn.compact
     def __call__(
         self,
-        query: jnp.ndarray,  # [B, ΣHW, C] (cams folded into B)
-        query_pos: jnp.ndarray,  # [ΣHW, C] or [B, ΣHW, C]
-        reference_points: jnp.ndarray,  # [ΣHW, 2] normalised centres
+        query: jnp.ndarray,  # [B, Q, C] (cams folded into B)
+        query_pos: Optional[jnp.ndarray],  # [Q, C] / [B, Q, C] / None
+        reference_points: jnp.ndarray,  # [Q, 2] or [B, Q, 2] normalised
         value: jnp.ndarray,  # [B, ΣHW, C]
         spatial_shapes: SpatialShapes,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        b, n, c = query.shape
+        b, q, c = query.shape
         identity = query
-        query = query + query_pos.astype(query.dtype)
+        if query_pos is not None:
+            query = query + query_pos.astype(query.dtype)
 
         v = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")(
             value
@@ -135,7 +137,7 @@ class MSDASelfAttention(nn.Module):
             ),
             name="sampling_offsets",
         )(query).reshape(
-            b, n, self.num_heads, self.num_levels, self.num_points, 2
+            b, q, self.num_heads, self.num_levels, self.num_points, 2
         )
         attn = nn.Dense(
             self.num_heads * self.num_levels * self.num_points,
@@ -144,18 +146,20 @@ class MSDASelfAttention(nn.Module):
             bias_init=nn.initializers.zeros,
             name="attention_weights",
         )(query).reshape(
-            b, n, self.num_heads, self.num_levels * self.num_points
+            b, q, self.num_heads, self.num_levels * self.num_points
         )
         attn = jax.nn.softmax(attn, axis=-1).reshape(
-            b, n, self.num_heads, self.num_levels, self.num_points
+            b, q, self.num_heads, self.num_levels, self.num_points
         )
 
         normalizer = jnp.asarray(
             [(w_, h_) for h_, w_ in spatial_shapes.shapes],
             dtype=offsets.dtype,
         )
+        if reference_points.ndim == 2:  # [Q, 2] shared across batch
+            reference_points = reference_points[None]
         loc = (
-            reference_points[None, :, None, None, None, :]
+            reference_points[:, :, None, None, None, :]
             + offsets / normalizer[None, None, None, :, None, :]
         )
         out = msda(v, spatial_shapes, loc, attn, num_heads=self.num_heads)
@@ -224,7 +228,7 @@ class DeformableEncoder2D(nn.Module):
 
         x = col_feats.reshape(bs * cams, n, c)
         for i in range(self.num_layers):
-            x = MSDASelfAttention(
+            x = MSDAAttention(
                 embed_dims=self.embed_dims,
                 num_heads=self.num_heads,
                 num_levels=self.num_levels,
@@ -247,73 +251,6 @@ class DeformableEncoder2D(nn.Module):
                 epsilon=1e-5, dtype=self.dtype, name=f"layer{i}_norm2"
             )(x)
         return x.reshape(bs, cams, n, c).astype(col_feats.dtype)
-
-
-class MSDACrossAttention(nn.Module):
-    """mmcv `MultiScaleDeformableAttention` with external queries
-    sampling the encoder memory (decoder cross-attention)."""
-
-    embed_dims: int = 256
-    num_heads: int = 8
-    num_levels: int = 4
-    num_points: int = 4
-    dropout: float = 0.1
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(
-        self,
-        query: jnp.ndarray,  # [B, Q, C]
-        query_pos: Optional[jnp.ndarray],
-        reference_points: jnp.ndarray,  # [B, Q, 2] normalised
-        value: jnp.ndarray,  # [B, ΣHW, C]
-        spatial_shapes: SpatialShapes,
-        deterministic: bool = True,
-    ) -> jnp.ndarray:
-        b, q, c = query.shape
-        identity = query
-        if query_pos is not None:
-            query = query + query_pos
-        v = nn.Dense(self.embed_dims, dtype=self.dtype, name="value_proj")(
-            value
-        ).astype(value.dtype)
-        offsets = nn.Dense(
-            self.num_heads * self.num_levels * self.num_points * 2,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.zeros,
-            bias_init=msda_offset_bias_init(
-                self.num_heads, self.num_levels, self.num_points
-            ),
-            name="sampling_offsets",
-        )(query).reshape(
-            b, q, self.num_heads, self.num_levels, self.num_points, 2
-        )
-        attn = nn.Dense(
-            self.num_heads * self.num_levels * self.num_points,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            name="attention_weights",
-        )(query).reshape(
-            b, q, self.num_heads, self.num_levels * self.num_points
-        )
-        attn = jax.nn.softmax(attn, axis=-1).reshape(
-            b, q, self.num_heads, self.num_levels, self.num_points
-        )
-        normalizer = jnp.asarray(
-            [(w_, h_) for h_, w_ in spatial_shapes.shapes],
-            dtype=offsets.dtype,
-        )
-        loc = (
-            reference_points[:, :, None, None, None, :]
-            + offsets / normalizer[None, None, None, :, None, :]
-        )
-        out = msda(v, spatial_shapes, loc, attn, num_heads=self.num_heads)
-        out = nn.Dense(
-            self.embed_dims, dtype=self.dtype, name="output_proj"
-        )(out.astype(self.dtype))
-        out = nn.Dropout(rate=self.dropout)(out, deterministic=deterministic)
-        return identity + out
 
 
 class DeformableDecoder2D(nn.Module):
@@ -359,7 +296,7 @@ class DeformableDecoder2D(nn.Module):
             x = nn.LayerNorm(
                 epsilon=1e-5, dtype=self.dtype, name=f"layer{i}_norm1"
             )(x + sa)
-            x = MSDACrossAttention(
+            x = MSDAAttention(
                 embed_dims=self.embed_dims,
                 num_heads=self.num_heads,
                 num_levels=self.num_levels,

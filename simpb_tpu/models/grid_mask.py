@@ -12,6 +12,26 @@ import jax
 import jax.numpy as jnp
 
 
+def keep_mask(h: int, w: int, d, l, st_h, st_w) -> jnp.ndarray:
+    """[h, w] mode-1 keep mask for given strip parameters (pure; the
+    parameter draws live in `grid_mask` so this is oracle-testable)."""
+    # reference builds the mask on a 1.5x canvas and center-crops
+    hh, ww = int(1.5 * h), int(1.5 * w)
+    ys = jnp.arange(h) + (hh - h) // 2
+    xs = jnp.arange(w) + (ww - w) // 2
+
+    def strip(idx, st, canvas):
+        # reference strips are s = d*i + st for i in range(canvas // d)
+        # ONLY (grid_mask.py:104-113) — the strip count is finite, so a
+        # plain `rel % d < l` would add extra strips near the crop edge
+        # whenever d*(canvas//d) + st < crop end
+        rel = idx - st
+        return (rel >= 0) & (rel % d < l) & (rel // d < canvas // d)
+
+    # mode=1: invert — the strip cells are *kept*
+    return strip(ys, st_h, hh)[:, None] | strip(xs, st_w, ww)[None, :]
+
+
 def grid_mask(
     rng: jax.Array,
     images: jnp.ndarray,  # [..., H, W, C]
@@ -26,18 +46,6 @@ def grid_mask(
     st_h = jax.random.randint(k_sh, (), 0, d)
     st_w = jax.random.randint(k_sw, (), 0, d)
 
-    # reference builds the mask on a 1.5x canvas and center-crops
-    off_h = (int(1.5 * h) - h) // 2
-    off_w = (int(1.5 * w) - w) // 2
-    ys = jnp.arange(h) + off_h
-    xs = jnp.arange(w) + off_w
-
-    def strip(idx, st):
-        rel = idx - st
-        return (rel >= 0) & (rel % d < l)
-
-    zeroed = strip(ys, st_h)[:, None] | strip(xs, st_w)[None, :]
-    # mode=1: invert — the strip cells are *kept*
-    keep = zeroed.astype(images.dtype)
+    keep = keep_mask(h, w, d, l, st_h, st_w).astype(images.dtype)
     keep = jnp.where(apply, keep, jnp.ones_like(keep))
     return images * keep[..., None]

@@ -54,6 +54,7 @@ class QueryGroupSelfAttention(nn.Module):
         value: jnp.ndarray,  # [bs, cams*K, E]
         valid: jnp.ndarray,  # [bs, cams*K] bool
         deterministic: bool = True,
+        identity: Optional[jnp.ndarray] = None,  # residual base
     ) -> jnp.ndarray:
         bs, q_total, e = query.shape
         k = q_total // self.num_cams
@@ -75,7 +76,11 @@ class QueryGroupSelfAttention(nn.Module):
                 out, deterministic=deterministic
             )
         out = out.reshape(bs, q_total, e)
-        return query + out
+        # mmcv MultiheadAttention residual uses the pos-free identity
+        # (captured before query_pos is added); callers on the
+        # non-decoupled path pass it explicitly
+        base = query if identity is None else identity
+        return base + out
 
 
 def msda_offset_bias_init(num_heads: int, num_levels: int, num_points: int):

@@ -117,6 +117,10 @@ class SimPBHead(nn.Module):
         if c.decouple_attn:
             self.fc_before = dense(e * 2, "fc_before")
             self.fc_after = dense(e, "fc_after")
+        else:
+            # reference falls back to nn.Identity (simpb_head.py:192-194)
+            self.fc_before = lambda x: x
+            self.fc_after = lambda x: x
         if c.decouple_attn2d:
             self.fc_before2d = dense(e * 2, "fc_before2d")
             self.fc_after2d = dense(e, "fc_after2d")
@@ -332,6 +336,10 @@ class SimPBHead(nn.Module):
         alloc_list: List[Allocation] = []
         dn_slot_targets: List[dict] = []
 
+        # snapshot fed to `aggregation` as query3d; tracked separately from
+        # instance_feature (even though no released op order mutates the
+        # latter in between) because operation_order is user-configurable —
+        # mirrors reference simpb_head.py:412,579
         temp_attn_instance = instance_feature
         alloc: Optional[Allocation] = None
         dn2d: Optional[Allocation] = None
@@ -636,10 +644,16 @@ class SimPBHead(nn.Module):
             if c.decouple_attn2d:
                 query = jnp.concatenate([query_block, pos_block], axis=-1)
                 value = self.fc_before2d(query_block)
+                identity = None
             else:
+                # mmcv residual identity is the pos-free query
                 query = query_block + pos_block
                 value = query_block
-            out = layer(query, value, valid_block, deterministic=deterministic)
+                identity = query_block
+            out = layer(
+                query, value, valid_block, deterministic=deterministic,
+                identity=identity,
+            )
             return self.fc_after2d(out) if c.decouple_attn2d else out
 
         real = run(feat2d[:, :q2], anchor_embed2d[:, :q2], alloc.valid)

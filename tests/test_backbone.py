@@ -146,3 +146,40 @@ def test_maxpool_large_shape_branch_matches():
     ref = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
     got = maxpool_3x3_s2(x)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fpn_extra_convs_relu_ordering():
+    """mmdet `add_extra_convs='on_output'` + relu_before_extra_convs:
+    the FIRST extra conv takes outs[-1] un-activated; relu starts at the
+    second extra conv (mmdet fpn.py: range(used_backbone_levels + 1, ...))."""
+    from flax.core import unfreeze
+    from simpb_tpu.models.backbone import FPN
+
+    rng = np.random.default_rng(0)
+    inputs = [
+        jnp.asarray(rng.normal(size=(1, s, s, 8)).astype(np.float32))
+        for s in (8, 4)
+    ]
+    fpn = FPN(out_channels=8, num_outs=4)
+    variables = fpn.init(jax.random.PRNGKey(0), inputs)
+    outs = fpn.apply(variables, inputs)
+    assert len(outs) == 4
+
+    p = unfreeze(variables)["params"]
+
+    def conv3x3(x, w, b, stride):
+        return jax.lax.conv_general_dilated(
+            x, w, (stride, stride), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+
+    # first extra: conv(outs[1]) with NO relu
+    e0 = conv3x3(outs[1], p["fpn_extra_2"]["kernel"],
+                 p["fpn_extra_2"]["bias"], 2)
+    np.testing.assert_allclose(
+        np.asarray(outs[2]), np.asarray(e0), atol=1e-5, rtol=1e-5)
+    # second extra: conv(relu(prev))
+    e1 = conv3x3(jax.nn.relu(outs[2]), p["fpn_extra_3"]["kernel"],
+                 p["fpn_extra_3"]["bias"], 2)
+    np.testing.assert_allclose(
+        np.asarray(outs[3]), np.asarray(e1), atol=1e-5, rtol=1e-5)

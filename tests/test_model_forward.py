@@ -198,3 +198,23 @@ def test_msda_cap_only_is_exact(model_and_vars):
         np.asarray(out_b["classification"][-1]),
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_non_decoupled_attn_forward(model_and_vars):
+    """decouple_attn=False / decouple_attn2d=False must run (reference
+    falls back to nn.Identity for fc_before/fc_after, simpb_head.py:192)
+    and use the pos-free residual identity in 2D self-attn (mmcv
+    MultiheadAttention semantics)."""
+    cfg, _, _, img, proj = model_and_vars
+    head = dataclasses.replace(
+        cfg.head, decouple_attn=False, decouple_attn2d=False
+    )
+    model = SimPB(dataclasses.replace(cfg, head=head))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2), "sampling": jax.random.PRNGKey(3)},
+        img, proj, train=False,
+    )
+    out = model.apply(variables, img, proj, train=False)
+    assert np.all(np.isfinite(np.asarray(out["prediction"][-1])))
+    assert np.all(np.isfinite(np.asarray(out["prediction2d"][-1])))

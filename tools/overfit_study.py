@@ -224,6 +224,10 @@ def main():
                         "pathway: velocity + instance-id tracking)")
     p.add_argument("--seq-len", type=int, default=6)
     p.add_argument("--dt", type=float, default=0.5)
+    p.add_argument("--val-scenes", type=int, default=0,
+                   help="also score N HELD-OUT painted scenes (unseen "
+                        "box layouts/classes) — generalisation, not "
+                        "memorisation (non-temporal mode only)")
     args = p.parse_args()
 
     if args.cpu:
@@ -308,7 +312,9 @@ def main():
         )
     )()
 
-    def evaluate(params_variables, tag):
+    def evaluate(params_variables, tag, ev_scenes=None, ev_batches=None):
+        ev_scenes = scenes if ev_scenes is None else ev_scenes
+        ev_batches = batches if ev_batches is None else ev_batches
         apply = jax.jit(
             lambda v, img, temporal, dt: model.apply(
                 v, img, proj, temporal=temporal, time_interval=dt,
@@ -319,7 +325,7 @@ def main():
         track_hits, track_total = 0, 0
         temporal = temporal0
         prev_match = {}  # gt slot -> predicted instance id
-        for s, b in zip(scenes, batches):
+        for s, b in zip(ev_scenes, ev_batches):
             out = apply(params_variables, b["img"], temporal,
                         b["time_interval"])
             temporal = out["temporal_state"]
@@ -402,6 +408,20 @@ def main():
 
     after = evaluate(state_variables(state), "after")
 
+    val = None
+    if args.val_scenes and not args.temporal:
+        # held-out layouts: same rig and painting rule, unseen seeds —
+        # scoring them tests generalisation of the learned
+        # appearance->box mapping, not scene memorisation
+        val_scenes = [
+            make_scene(10_000 + i, args.boxes, img_wh, proj_np)
+            for i in range(args.val_scenes)
+        ]
+        val_batches = [build_batch(s, 5.0) for s in val_scenes]
+        val = evaluate(
+            state_variables(state), "val", val_scenes, val_batches
+        )
+
     result = {
         "steps": args.steps, "scenes": args.scenes,
         "boxes_per_scene": args.boxes, "wh": list(img_wh),
@@ -412,6 +432,11 @@ def main():
         "NDS_before": before["NDS"], "NDS_after": after["NDS"],
         "mATE_after": after["mATE"], "mAVE_after": after["mAVE"],
     }
+    if val is not None:
+        result["val_scenes"] = args.val_scenes
+        result["mAP_val"] = val["mAP"]
+        result["NDS_val"] = val["NDS"]
+        result["mATE_val"] = val["mATE"]
     if args.temporal:
         result["track_consistency_before"] = before.get(
             "track_consistency"
