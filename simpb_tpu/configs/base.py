@@ -158,6 +158,10 @@ class TrainConfig:
     bbox_weight2d: float = 5.0
     iou_weight2d: float = 2.0
     alpha_weight2d: float = 0.5
+    # declared-but-unused, matching the reference: simpb_head.py:52,91
+    # stores dn_loss_weight=5.0 and never reads it — DN losses enter at
+    # cls_weight/box_weight like the real branches. Kept for config
+    # parity; wiring it in would deviate from the released recipe.
     dn_loss_weight: float = 5.0
     reg_weights: Tuple[float, ...] = (2.0,) * 3 + (1.0,) * 7
     sampler_reg_weights: Tuple[float, ...] = (2.0,) * 3 + (0.5,) * 3 + (0.0,) * 4

@@ -158,6 +158,7 @@ class NuScenesDataset:
         return {
             "timestamp": info["timestamp"] / 1e6,
             "lidar2global": lidar2global,
+            "ego2global": ego2global,
             "img_paths": paths,
             "intrinsics": intrinsics,
             "extrinsics": extrinsics,
@@ -190,6 +191,7 @@ class NuScenesDataset:
         sample = {
             "timestamp": geo["timestamp"],
             "lidar2global": geo["lidar2global"],
+            "ego2global": geo["ego2global"],
             "intrinsics": list(geo["intrinsics"]),
             "extrinsics": list(geo["extrinsics"]),
             "cam_intrinsic": list(geo["cam_intrinsic"]),
@@ -338,6 +340,10 @@ class NuScenesDataset:
                 l2d.append(np.asarray(info["labels2d"][cam])[keep])
                 c2d.append(np.asarray(info["centers2d"][cam])[keep])
                 d2d.append(np.asarray(info["depths"][cam])[keep])
+                # NB: mapping == -1 (2D GT without a 3D parent) python-
+                # wraps to the LAST 3D box's alpha — the reference does
+                # the identical wrap (nuscenes_dataset.py:472
+                # `gt_alphas_2d[cam_idx][map_2d_3d]`); kept for parity
                 a2d.append(alphas[cam][mapping][keep])
                 m2d.append(remap[mapping[keep]])
             sample.update(

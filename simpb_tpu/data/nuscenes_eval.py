@@ -36,6 +36,53 @@ TP_THRESHOLD = 2.0
 MIN_RECALL = 0.1
 MIN_PRECISION = 0.1
 
+# devkit detection_cvpr_2019 per-class eval range (m from ego);
+# filter_eval_boxes drops GT and predictions beyond it. (The devkit
+# additionally removes bicycles/motorcycles inside map bike racks —
+# that needs the nuScenes map DB and is not replicated here.)
+CLASS_RANGE = {
+    "car": 50.0,
+    "truck": 50.0,
+    "construction_vehicle": 50.0,
+    "bus": 50.0,
+    "trailer": 50.0,
+    "barrier": 30.0,
+    "motorcycle": 40.0,
+    "bicycle": 40.0,
+    "pedestrian": 40.0,
+    "traffic_cone": 30.0,
+}
+
+
+def filter_eval_boxes(
+    samples: List[Dict], class_range: Dict[str, float]
+) -> List[Dict]:
+    """Devkit `filter_eval_boxes`: keep boxes whose BEV distance from
+    the ego position is within the class-specific range (devkit uses
+    `norm(ego_translation[:2])`). When a sample carries boxes in the
+    GLOBAL frame it must provide `"ego_xy"` ([2], the ego position in
+    that frame); without it the origin is assumed to BE the ego, i.e.
+    boxes are in the per-sample ego/lidar frame."""
+    out = []
+    for s in samples:
+        ego_xy = s.get("ego_xy")
+        centers = s["boxes"][:, :2]
+        if ego_xy is not None:
+            centers = centers - np.asarray(ego_xy)[None, :]
+        dist = np.linalg.norm(centers, axis=-1)
+        limits = np.asarray(
+            [class_range[CLASS_NAMES[int(l)]] for l in s["labels"]]
+        ) if len(s["labels"]) else np.zeros(0)
+        keep = dist <= limits
+        filtered = {
+            # per-box arrays filter; metadata (ego_xy, token, ...) passes
+            k: (v[keep] if k != "ego_xy" and isinstance(v, np.ndarray) and
+                v.shape[:1] == keep.shape else v)
+            for k, v in s.items()
+        }
+        out.append(filtered)
+    return out
+
 ATTR_CLASSES = set(CLASS_NAMES) - {"traffic_cone", "barrier"}
 VEL_CLASSES = set(CLASS_NAMES) - {"traffic_cone", "barrier"}
 ORIENT_CLASSES = set(CLASS_NAMES) - {"traffic_cone"}
@@ -208,12 +255,19 @@ def _tp_error(md, key) -> float:
 
 
 def evaluate_detections(
-    preds: List[Dict], gts: List[Dict]
+    preds: List[Dict],
+    gts: List[Dict],
+    class_range: Optional[Dict[str, float]] = CLASS_RANGE,
 ) -> Dict[str, float]:
     """Full nuScenes detection scores.
 
-    Returns dict with mAP, NDS, mATE/mASE/mAOE/mAVE/mAAE, and per-class
-    AP (`AP_<class>`)."""
+    Applies the devkit's per-class range filter by default (pass
+    class_range=None for unfiltered matching math). Returns dict with
+    mAP, NDS, mATE/mASE/mAOE/mAVE/mAAE, and per-class AP
+    (`AP_<class>`)."""
+    if class_range is not None:
+        preds = filter_eval_boxes(preds, class_range)
+        gts = filter_eval_boxes(gts, class_range)
     aps = {}
     tp_errs = {k: {} for k in ("trans", "scale", "orient", "vel", "attr")}
     for cls in CLASS_NAMES:

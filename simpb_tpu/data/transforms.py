@@ -102,7 +102,12 @@ def transform_boxes2d(
 
 def filter_occluded(bboxes, depths, fh, fw):
     """Occlusion filter: keep boxes still visible after z-ordered paint
-    (reference pipelines/augment.py:205-232). Returns kept indices."""
+    (reference pipelines/augment.py:205-232). Returns kept indices.
+
+    Quirk replicated from the reference: the paint canvas starts as
+    zeros and ranks start at 0, so rank 0 (the FARTHEST box) always
+    appears in np.unique and survives even when fully overpainted
+    (reference augment.py:208,224 has the same collision)."""
     n = len(bboxes)
     if n == 0:
         return np.zeros((0,), np.int64)

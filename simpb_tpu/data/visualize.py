@@ -109,9 +109,8 @@ def draw_bev(
     cv2.circle(canvas, (center, center), 4, (255, 255, 255), -1)
     corners = box3d_corners(boxes)[:, :4, :2]  # bottom face
     for i, cs in enumerate(corners):
-        pts = np.int32(cs * scale + center)
         # image y axis points down; flip for ego-forward up
-        pts = np.stack([center + (cs[:, 1] * -scale) * 0 + (cs[:, 0] * scale),
+        pts = np.stack([center + cs[:, 0] * scale,
                         center - cs[:, 1] * scale], -1).astype(np.int32)
         color = PALETTE[int(labels[i]) % len(PALETTE)] if labels is not None else (0, 255, 0)
         cv2.polylines(canvas, [pts], True, color, 2)

@@ -435,6 +435,9 @@ def msda(
 ) -> jnp.ndarray:
     """Multi-scale deformable attention sampling (one camera's values).
 
+    num_heads is validation-only: heads are derived from
+    sampling_locations.shape[2]; when given it must agree.
+
     Args:
       value: [B, ΣHW, C] full-width projected values (the per-head split
         happens after sampling — 512-byte rows gather far faster than
@@ -447,6 +450,11 @@ def msda(
     b, total_hw, c = value.shape
     q = sampling_locations.shape[1]
     heads = sampling_locations.shape[2]
+    if num_heads is not None and num_heads != heads:
+        raise ValueError(
+            f"num_heads={num_heads} disagrees with "
+            f"sampling_locations head axis {heads}"
+        )
     num_levels, num_points = sampling_locations.shape[3:5]
     head_dim = c // heads
 

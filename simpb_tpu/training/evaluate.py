@@ -118,11 +118,16 @@ def streaming_eval(
         dec = {k: np.asarray(v)[0] for k, v in dec.items()}
         boxes_g = boxes_lidar_to_global(dec["boxes_3d"], t_global)
         valid = dec["valid"]
+        # boxes are in the GLOBAL frame here: the class-range filter in
+        # evaluate_detections needs the ego position (devkit measures
+        # range as norm(box.translation - ego_pose.translation))
+        ego_xy = sample["ego2global"][:2, 3].astype(np.float32)
         preds.append(
             {
                 "boxes": boxes_g[valid],
                 "scores": dec["scores_3d"][valid],
                 "labels": dec["labels_3d"][valid],
+                "ego_xy": ego_xy,
             }
         )
         tokens.append(dataset.data_infos[idx]["token"])
@@ -134,7 +139,9 @@ def streaming_eval(
             g10 = boxes_lidar_to_global(g10, t_global)
         else:
             g10 = np.zeros((0, 10), np.float32)
-        gts.append({"boxes": g10, "labels": gt["gt_labels_3d"]})
+        gts.append(
+            {"boxes": g10, "labels": gt["gt_labels_3d"], "ego_xy": ego_xy}
+        )
 
         if show_dir:
             from ..data.transforms import IMG_MEAN, IMG_STD

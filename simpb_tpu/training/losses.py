@@ -43,6 +43,30 @@ def sigmoid_focal_loss(
     return loss * loss_weight
 
 
+def focal_match_cost(
+    cls_pred: jnp.ndarray,  # [B, N, C] logits
+    gt_labels: jnp.ndarray,  # [B, G] int (any value where invalid)
+    alpha: float,
+    gamma: float,
+    eps: float,
+    weight: float,
+) -> jnp.ndarray:
+    """Focal classification MATCHING cost [B, N, G] (mmdet
+    FocalLossCost semantics, reference detection3d/target.py:158-180 ==
+    detection2d/coster.py:179-205 — one implementation for both)."""
+    p = jax.nn.sigmoid(cls_pred)
+    neg = -jnp.log(1 - p + eps) * (1 - alpha) * p**gamma
+    pos = -jnp.log(p + eps) * alpha * (1 - p) ** gamma
+    diff = pos - neg  # [B, N, C]
+    labels = jnp.clip(gt_labels, 0, cls_pred.shape[-1] - 1)
+    return (
+        jnp.take_along_axis(
+            diff, labels[:, None, :].repeat(diff.shape[1], 1), axis=2
+        )
+        * weight
+    )
+
+
 def l1_loss(
     pred: jnp.ndarray,
     target: jnp.ndarray,

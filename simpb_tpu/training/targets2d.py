@@ -17,7 +17,12 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from .losses import bbox_cxcywh_to_xyxy, bbox_xyxy_to_cxcywh, giou
+from .losses import (
+    bbox_cxcywh_to_xyxy,
+    bbox_xyxy_to_cxcywh,
+    focal_match_cost,
+    giou,
+)
 from .matching import batched_assignment
 
 
@@ -61,16 +66,8 @@ def sample_targets2d(
     gt_v = gt_valid.reshape(bs * cams, g2)
 
     # --- costs (coster.py:179-226, mmdet match-cost formulas) ---
-    p = jax.nn.sigmoid(cls_p)
-    neg = -jnp.log(1 - p + cfg.eps) * (1 - cfg.alpha) * p**cfg.gamma
-    pos = -jnp.log(p + cfg.eps) * cfg.alpha * (1 - p) ** cfg.gamma
-    diff = pos - neg  # [B, K, C]
-    labels_c = jnp.clip(gt_l, 0, num_cls - 1)
-    cls_cost = (
-        jnp.take_along_axis(
-            diff, labels_c[:, None, :].repeat(k, 1), axis=2
-        )
-        * cfg.cls_weight
+    cls_cost = focal_match_cost(
+        cls_p, gt_l, cfg.alpha, cfg.gamma, cfg.eps, cfg.cls_weight
     )
 
     gt_cxcywh = bbox_xyxy_to_cxcywh(gt_b) / factor

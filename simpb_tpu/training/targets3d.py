@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import box3d
+from .losses import focal_match_cost
 from .matching import batched_assignment
 
 # class labels encoding in dn_cls_target (reference target.py:251, 671):
@@ -52,16 +53,8 @@ def _cls_cost(
     cfg: TargetConfig,
 ) -> jnp.ndarray:
     """Focal matching cost [bs, N, G] (reference target.py:158-180)."""
-    p = jax.nn.sigmoid(cls_pred)
-    neg = -jnp.log(1 - p + cfg.eps) * (1 - cfg.alpha) * p**cfg.gamma
-    pos = -jnp.log(p + cfg.eps) * cfg.alpha * (1 - p) ** cfg.gamma
-    diff = pos - neg  # [bs, N, C]
-    labels = jnp.clip(gt_labels, 0, cls_pred.shape[-1] - 1)
-    return (
-        jnp.take_along_axis(
-            diff, labels[:, None, :].repeat(diff.shape[1], 1), axis=2
-        )
-        * cfg.cls_weight
+    return focal_match_cost(
+        cls_pred, gt_labels, cfg.alpha, cfg.gamma, cfg.eps, cfg.cls_weight
     )
 
 
@@ -170,7 +163,7 @@ class DnBundle:
 
 def get_dn_anchors(
     rng: jax.Array,
-    gt_boxes: jnp.ndarray,  # [bs, G, 10] decoded, G >= max_dn_gt
+    gt_boxes: jnp.ndarray,  # [bs, G, 9] decoded (2-D vel), G >= max_dn_gt
     gt_labels: jnp.ndarray,  # [bs, G]
     gt_valid: jnp.ndarray,  # [bs, G]
     gt_instance_id: Optional[jnp.ndarray] = None,  # [bs, G]
@@ -196,7 +189,7 @@ def get_dn_anchors(
     gt_boxes = gt_boxes[:, :g]
     gt_labels = jnp.where(gt_valid[:, :g], gt_labels[:, :g], DN_PAD_LABEL)
     gt_valid = gt_valid[:, :g]
-    enc = encode_gt(gt_boxes, gt_valid)  # [bs, g, 11]
+    enc = encode_gt(gt_boxes, gt_valid)  # [bs, g, 10]
 
     if gt_instance_id is None:
         gt_instance_id = jnp.full((bs, g), -1, jnp.int32)

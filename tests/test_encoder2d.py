@@ -138,3 +138,26 @@ def test_head_with_encoder2d(share, monkeypatch):
     flat = jax.tree_util.tree_flatten_with_path(variables)[0]
     names = "/".join(str(k) for path, _ in flat for k in path)
     assert "encoder2d" in names
+
+
+def test_msda_attention_reference_point_rank_equivalence():
+    """The merged MSDAAttention must treat rank-2 reference points
+    ([Q, 2], shared across batch) identically to the explicitly tiled
+    rank-3 form ([B, Q, 2])."""
+    from simpb_tpu.models.encoder2d import MSDAAttention
+
+    attn = MSDAAttention(
+        embed_dims=32, num_heads=4, num_levels=4, num_points=2
+    )
+    rng = jax.random.PRNGKey(0)
+    b, q = 3, 10
+    query = jax.random.normal(rng, (b, q, 32))
+    value = jax.random.normal(jax.random.PRNGKey(1), (b, N, 32))
+    refs2 = jax.random.uniform(jax.random.PRNGKey(2), (q, 2))
+    params = attn.init(rng, query, None, refs2, value, SHAPES)
+    out2 = attn.apply(params, query, None, refs2, value, SHAPES)
+    refs3 = jnp.tile(refs2[None], (b, 1, 1))
+    out3 = attn.apply(params, query, None, refs3, value, SHAPES)
+    np.testing.assert_allclose(
+        np.asarray(out2), np.asarray(out3), atol=1e-6, rtol=1e-6
+    )

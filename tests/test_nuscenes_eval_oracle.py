@@ -133,7 +133,31 @@ def _oracle_tp(md, key):
     return sum(vals) / len(vals)
 
 
+# published detection_cvpr_2019 class ranges (devkit filter_eval_boxes)
+_ORACLE_RANGE = {
+    "car": 50, "truck": 50, "construction_vehicle": 50, "bus": 50,
+    "trailer": 50, "barrier": 30, "motorcycle": 40, "bicycle": 40,
+    "pedestrian": 40, "traffic_cone": 30,
+}
+
+
+def _oracle_filter(samples):
+    out = []
+    for s in samples:
+        keep = []
+        for j in range(len(s["labels"])):
+            r = _ORACLE_RANGE[CLASS_NAMES[int(s["labels"][j])]]
+            d = float(np.hypot(s["boxes"][j, 0], s["boxes"][j, 1]))
+            keep.append(d <= r)
+        keep = np.asarray(keep, bool) if keep else np.zeros(0, bool)
+        out.append({k: (v[keep] if isinstance(v, np.ndarray) else v)
+                    for k, v in s.items()})
+    return out
+
+
 def oracle_evaluate(preds, gts):
+    preds = _oracle_filter(preds)
+    gts = _oracle_filter(gts)
     aps = {}
     tp_errs = {k: {} for k in ("trans", "scale", "orient", "vel", "attr")}
     skip = {
@@ -243,3 +267,60 @@ def test_oracle_agrees_on_empty_and_perfect():
     assert abs(got["mAP"] - want["mAP"]) < 1e-9
     assert abs(got["NDS"] - want["NDS"]) < 1e-9
     assert got["mAP"] > 0.98
+
+
+def test_class_range_filter_drops_out_of_range_boxes():
+    """A GT/pred pair beyond its class range must vanish from the
+    metric entirely (devkit filter_eval_boxes semantics)."""
+    car = CLASS_NAMES.index("car")
+    cone = CLASS_NAMES.index("traffic_cone")
+    mk = lambda xy, lbl: {
+        "boxes": np.array([[xy[0], xy[1], 0, 2, 4, 1.5, 0, 0, 0, 0]],
+                          np.float64),
+        "labels": np.array([lbl]),
+    }
+    # car at 45 m: inside 50 m range; cone at 45 m: outside 30 m range
+    gts = [mk((45, 0), car), mk((45, 0), cone)]
+    preds = [
+        dict(mk((45, 0), car), scores=np.array([0.9])),
+        dict(mk((45, 0), cone), scores=np.array([0.9])),
+    ]
+    m = evaluate_detections(preds, gts)
+    assert m["AP_car"] > 0.9  # survives the filter, perfect match
+    # the cone class has no in-range GT -> excluded (NaN per-class AP)
+    assert m["AP_traffic_cone"] != m["AP_traffic_cone"]
+    # with filtering disabled both classes score
+    m2 = evaluate_detections(preds, gts, class_range=None)
+    assert m2["AP_traffic_cone"] > 0.9
+
+
+def test_class_range_filter_global_frame_ego_xy():
+    """Global-frame samples carry `ego_xy`; range is measured from the
+    ego, not the map origin (devkit: norm(translation - ego_pose))."""
+    car = CLASS_NAMES.index("car")
+    ego = np.array([1000.0, 500.0])
+
+    def mk(off, lbl, n=1):
+        xy = ego + np.asarray(off)
+        boxes = np.tile(
+            np.array([[xy[0], xy[1], 0, 2, 4, 1.5, 0, 0, 0, 0]],
+                     np.float64), (n, 1))
+        return {
+            "boxes": boxes,
+            "labels": np.full((n,), lbl),
+            "ego_xy": ego.copy(),
+        }
+
+    # two boxes per sample: exercises the N==2 edge where ego_xy's own
+    # shape (2,) must NOT be row-filtered like a per-box array
+    gts = [mk((45, 0), car, n=2)]
+    preds = [dict(mk((45, 0), car, n=2), scores=np.array([0.9, 0.8]))]
+    m = evaluate_detections(preds, gts)
+    assert m["AP_car"] > 0.9  # 1045 m from origin but 45 m from ego
+
+    # without ego_xy the same global boxes would be dropped entirely
+    # (no in-range GT for any class -> per-class APs all NaN-excluded)
+    for s in gts + preds:
+        s.pop("ego_xy")
+    m2 = evaluate_detections(preds, gts)
+    assert m2["AP_car"] != m2["AP_car"]  # NaN: class filtered out
