@@ -46,6 +46,11 @@ def main():
             head, msda_gather_capacity=int(os.environ["SIMPB_MSDA_CAP"])
         )
     cfg = dataclasses.replace(cfg, head=head)
+    if os.environ.get("SIMPB_FUSED_TRUNK"):
+        cfg = dataclasses.replace(
+            cfg,
+            backbone_fused_infer=os.environ["SIMPB_FUSED_TRUNK"] == "1",
+        )
 
     fps = run_benchmark(cfg, window=128, batch_size=1)
     print(

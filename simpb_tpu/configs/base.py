@@ -121,6 +121,12 @@ class ModelConfig:
     # 27.6 vs 25.9) — default off, kept for toolchains where the
     # low-channel stem is the bottleneck.
     stem_s2d: bool = False
+    # inference-only fused Pallas bottleneck trunk
+    # (ops/conv_fused.py + backbone.py::fused_resnet_infer): every
+    # stride-1 bottleneck runs as one VMEM-resident kernel (one HBM
+    # read + one write per block). Numerics = BN-folded inference
+    # (tests/test_conv_fused.py); train path unaffected.
+    backbone_fused_infer: bool = False
     use_grid_mask: bool = True
     num_depth_layers: int = 3
     depth_loss_weight: float = 0.2

@@ -270,6 +270,81 @@ class ResNet(nn.Module):
         return outs
 
 
+def fused_resnet_infer(
+    variables,
+    x: jnp.ndarray,
+    depth: int = 50,
+    dtype: jnp.dtype = jnp.float32,
+    interpret: bool = False,
+):
+    """Serving-path trunk: ResNet inference over the SAME variable tree
+    as `ResNet.apply(..., train=False)`, with every stride-1 bottleneck
+    executed by the fused Pallas kernel (`ops/conv_fused.py`) — one HBM
+    read + one write per block instead of XLA's ~6 passes. Stem, pool,
+    and the 4 stride/downsample blocks reuse the exact module code, so
+    outputs match `ResNet.apply` to f32-fold rounding
+    (tests/test_conv_fused.py).
+    """
+    from ..ops.conv_fused import (
+        BN_EPS, bottleneck_fused_infer, fold_block_params,
+    )
+
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def bn_fold(bn, st):
+        f = bn["scale"].astype(jnp.float32) * jax.lax.rsqrt(
+            st["var"].astype(jnp.float32) + BN_EPS
+        )
+        return f, bn["bias"].astype(jnp.float32) - st["mean"].astype(
+            jnp.float32
+        ) * f
+
+    def conv_bn(y, p, st, s, name, bn_name, pad):
+        k = p[name]["kernel"].astype(dtype)
+        y = jax.lax.conv_general_dilated(
+            y, k, (s, s), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        f, b = bn_fold(p[bn_name], st[bn_name])
+        return (y.astype(jnp.float32) * f + b).astype(dtype)
+
+    def bottleneck_xla(y, p, st, stride):
+        # stride-2 / downsample block, folded BN (plain lax — flax
+        # modules cannot be constructed inside a bound module method)
+        idn = conv_bn(y, p, st, stride, "downsample_conv",
+                      "downsample_bn", 0)
+        y = nn.relu(conv_bn(y, p, st, 1, "conv1", "bn1", 0))
+        y = nn.relu(conv_bn(y, p, st, stride, "conv2", "bn2", 1))
+        y = conv_bn(y, p, st, 1, "conv3", "bn3", 0)
+        return nn.relu(y + idn)
+
+    x = x.astype(dtype)
+    k = params["conv1"]["kernel"].astype(dtype)
+    x = jax.lax.conv_general_dilated(
+        x, k, (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    f, b = bn_fold(params["bn1"], stats["bn1"])
+    x = nn.relu((x.astype(jnp.float32) * f + b).astype(dtype))
+    x = maxpool_3x3_s2(x)
+
+    outs = []
+    for stage, num_blocks in enumerate(RESNET_STAGE_BLOCKS[depth]):
+        for i in range(num_blocks):
+            name = f"layer{stage + 1}_{i}"
+            if i == 0:
+                x = bottleneck_xla(
+                    x, params[name], stats[name], 2 if stage > 0 else 1
+                )
+            else:
+                folded = fold_block_params(params[name], stats[name])
+                x = bottleneck_fused_infer(
+                    x, folded, interpret=interpret
+                )
+        outs.append(x)
+    return outs
+
+
 class FPN(nn.Module):
     """mmdet-equivalent FPN: laterals + top-down nearest upsample + 3x3."""
 

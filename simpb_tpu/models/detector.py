@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..configs.base import ModelConfig
 from ..ops.format import SpatialShapes, pack_feature_maps
-from .backbone import FPN, DenseDepthNet, ResNet
+from .backbone import FPN, DenseDepthNet, ResNet, fused_resnet_infer
 from .grid_mask import grid_mask
 from .head import SimPBHead
 from .instance_bank import TemporalState
@@ -64,7 +64,24 @@ class SimPB(nn.Module):
         x = img.reshape((bs * cams,) + img.shape[2:])
         if train and self.cfg.use_grid_mask:
             x = grid_mask(self.make_rng("aug"), x)
-        feats = self.backbone(x.astype(self.dtype), train=train)
+        use_fused = (
+            not train
+            and self.cfg.backbone_fused_infer
+            and not self.cfg.stem_s2d
+            and not self.is_initializing()
+        )
+        if use_fused:
+            feats = fused_resnet_infer(
+                self.backbone.variables,
+                x.astype(self.dtype),
+                depth=self.cfg.backbone_depth,
+                dtype=self.dtype,
+                # interpret only on CPU (tests); the axon TPU plugin may
+                # report its platform as "axon" rather than "tpu"
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            feats = self.backbone(x.astype(self.dtype), train=train)
         feats = self.neck(feats)
         feats = [f.reshape((bs, cams) + f.shape[1:]) for f in feats]
         depths = None

@@ -1,0 +1,187 @@
+"""Fused ResNet-bottleneck inference kernel (Pallas, TPU).
+
+Why: at serving time the trunk is bandwidth-bound — XLA lowers each
+bottleneck as 3 conv customs plus elementwise fusions, so the [N,H,W,C]
+activation makes ~6 HBM round trips per block. This kernel computes a
+whole stride-1 bottleneck (1x1 -> 3x3 -> 1x1 with BN folded, ReLUs, and
+the residual add) in ONE pass: a (tile_h+2)-row halo tile of the input
+is DMA'd to VMEM, the 64/128/256/512-channel intermediates never leave
+VMEM, and only the final [tile_h, W, C] tile is written back — the
+theoretical floor of one read + one write of the block's activation.
+
+Semantics match `models/backbone.py::Bottleneck` in inference mode with
+BatchNorm folded (capability parity with the reference's mmdet ResNet
+bottleneck, mmdet/models/backbones/resnet.py; the reference fuses
+conv+BN for deploy via tools/fuse_conv_bn.py:10-48 — here the fold
+happens at trace time from the live BN statistics, so both raw and
+pre-fused checkpoints hit the same kernel).
+
+Layout notes (see /opt/skills/guides/pallas_guide.md): the channel dim
+rides the 128-wide lane axis, the 3x3 taps become 9 shifted
+`dot_general`s on the MXU (no im2col materialisation), halo rows come
+from `pl.Element` block dims with (1, 1) padding, and out-of-image halo
+positions (undefined memory) are masked to zero — exactly the zero
+padding the reference convs use. Stride-2 / downsample blocks (4 of 16
+in r50) stay on the XLA path via the unchanged flax module.
+
+The train path is untouched: gradients still flow through the flax
+Bottleneck; this kernel is inference-only, like
+`backbone.py::maxpool_3x3_s2`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BN_EPS = 1e-5  # torch parity (CLAUDE.md)
+
+
+def fold_block_params(params: Dict, stats: Dict) -> Tuple[jnp.ndarray, ...]:
+    """Fold BN into conv weights for one bottleneck block.
+
+    Returns (w1 [C, Cm], b1 [Cm], w2 [3, 3, Cm, Cm], b2 [Cm],
+    w3 [Cm, C], b3 [C]) in float32; numerically the BN fold of
+    `utils/fuse_bn.py::_fold_pair` applied at trace time.
+    """
+
+    def fold(conv_name, bn_name):
+        k = params[conv_name]["kernel"].astype(jnp.float32)
+        bn = params[bn_name]
+        st = stats[bn_name]
+        f = bn["scale"].astype(jnp.float32) * jax.lax.rsqrt(
+            st["var"].astype(jnp.float32) + BN_EPS
+        )
+        return k * f, bn["bias"].astype(jnp.float32) - st[
+            "mean"
+        ].astype(jnp.float32) * f
+
+    k1, b1 = fold("conv1", "bn1")
+    k2, b2 = fold("conv2", "bn2")
+    k3, b3 = fold("conv3", "bn3")
+    return k1[0, 0], b1, k2, b2, k3[0, 0], b3
+
+
+def _kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref, y1_ref,
+    *, tile_h: int, width: int, height: int, cdt,
+):
+    """One [tile_h, W] output tile of a stride-1 bottleneck.
+
+    x_ref: [tile_h+2, W, C] H-halo tile (OOB rows undefined — the TPU
+    lowering requires the last two block dims full, so only H carries
+    the halo; the W halo is zero-padded in VMEM below),
+    y1_ref: [tile_h+2, W+2, Cm] VMEM scratch, o_ref: [tile_h, W, C].
+    """
+    i = pl.program_id(1)
+    x = x_ref[0]
+
+    # conv1 1x1 + BN + relu over the whole halo tile, then zero the
+    # rows that lie outside the image: that is exactly conv2's zero
+    # padding (and it also kills the undefined OOB halo rows).
+    y1 = jax.lax.dot_general(
+        x.astype(cdt), w1_ref[:],
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y1 = jax.nn.relu(y1 + b1_ref[:][None, None, :])
+    gr = i * tile_h - 1 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h + 2, width), 0
+    )
+    valid = (gr >= 0) & (gr < height)
+    y1 = jnp.where(valid[:, :, None], y1, 0.0).astype(cdt)
+    # conv2's W zero-padding, materialised in VMEM scratch
+    y1_ref[:, 0, :] = jnp.zeros_like(y1_ref[:, 0, :])
+    y1_ref[:, width + 1, :] = jnp.zeros_like(y1_ref[:, width + 1, :])
+    y1_ref[:, 1 : width + 1, :] = y1
+
+    # conv2 3x3: 9 shifted MXU contractions accumulated in f32
+    acc = jnp.zeros((tile_h, width, w2_ref.shape[-1]), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            v = y1_ref[dy : dy + tile_h, dx : dx + width, :]
+            acc = acc + jax.lax.dot_general(
+                v, w2_ref[dy, dx],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    y2 = jax.nn.relu(acc + b2_ref[:][None, None, :]).astype(cdt)
+
+    # conv3 1x1 + BN, residual add, relu
+    y3 = jax.lax.dot_general(
+        y2, w3_ref[:],
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y3 = (y3 + b3_ref[:][None, None, :]).astype(x.dtype)
+    xc = x_ref[0, 1 : tile_h + 1, :, :]
+    o_ref[:] = jax.nn.relu(y3 + xc)
+
+
+def pick_tile_h(height: int, channels: int) -> int:
+    """Largest power-of-two divisor of `height`, capped so the halo
+    tile + weights + scratch stay inside ~12 MB of VMEM."""
+    cap = 8 if channels >= 2048 else 16
+    th = 1
+    while th * 2 <= cap and height % (th * 2) == 0:
+        th *= 2
+    return th
+
+
+def bottleneck_fused_infer(
+    x: jnp.ndarray,
+    folded: Tuple[jnp.ndarray, ...],
+    *,
+    tile_h: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Apply one stride-1, non-downsample bottleneck block.
+
+    x: [B, H, W, C] activations (any float dtype; compute runs in
+    x.dtype with f32 accumulation). Returns [B, H, W, C].
+    """
+    b, h, w, c = x.shape
+    w1, b1, w2, b2, w3, b3 = folded
+    cm = w1.shape[1]
+    cdt = x.dtype
+    w1, w2, w3 = w1.astype(cdt), w2.astype(cdt), w3.astype(cdt)
+    th = tile_h or pick_tile_h(h, c)
+
+    const = lambda a: pl.BlockSpec(
+        a.shape, lambda bi, hi: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _kernel, tile_h=th, width=w, height=h, cdt=cdt
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec(
+                # the TPU lowering requires all-Element (or no-Element)
+                # block dims; only H actually carries a halo
+                (
+                    pl.Element(1, (0, 0)),
+                    pl.Element(th + 2, (1, 1)),
+                    pl.Element(w, (0, 0)),
+                    pl.Element(c, (0, 0)),
+                ),
+                lambda bi, hi: (bi, hi * th, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            const(w1), const(b1), const(w2), const(b2), const(w3),
+            const(b3),
+        ],
+        out_specs=pl.BlockSpec(
+            (pl.Squeezed(), th, w, c),
+            lambda bi, hi: (bi, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((th + 2, w + 2, cm), cdt)],
+        interpret=interpret,
+    )(x, w1, b1, w2, b2, w3, b3)

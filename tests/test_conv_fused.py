@@ -1,0 +1,119 @@
+"""Fused Pallas bottleneck trunk vs the flax module path.
+
+The serving trunk (`backbone.py::fused_resnet_infer` +
+`ops/conv_fused.py`) must reproduce `ResNet.apply(..., train=False)`
+on the same variable tree. On the CPU mesh the kernel runs in
+interpret mode; the same code lowers via Mosaic on TPU.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simpb_tpu.models.backbone import Bottleneck, ResNet, fused_resnet_infer
+from simpb_tpu.ops.conv_fused import (
+    bottleneck_fused_infer, fold_block_params, pick_tile_h,
+)
+
+
+def _randomize_bn(v, rng):
+    """Non-trivial BN stats so the fold is actually exercised."""
+    def visit(p, s):
+        for key in p:
+            if key.startswith("bn") or key.endswith("_bn"):
+                p[key]["scale"] = jnp.asarray(
+                    rng.uniform(0.8, 1.2, p[key]["scale"].shape), jnp.float32
+                )
+                p[key]["bias"] = jnp.asarray(
+                    rng.normal(size=p[key]["bias"].shape) * 0.1, jnp.float32
+                )
+                s[key]["mean"] = jnp.asarray(
+                    rng.normal(size=s[key]["mean"].shape) * 0.1, jnp.float32
+                )
+                s[key]["var"] = jnp.asarray(
+                    rng.uniform(0.5, 1.5, s[key]["var"].shape), jnp.float32
+                )
+            elif isinstance(p[key], dict) and key in s:
+                visit(p[key], s[key])
+    v = jax.tree_util.tree_map(lambda a: a, v)  # shallow copy
+    visit(v["params"], v["batch_stats"])
+    return v
+
+
+def test_single_block_matches_module():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 64)), jnp.float32)
+    blk = Bottleneck(planes=16, stride=1, downsample=False,
+                     dtype=jnp.float32)
+    v = _randomize_bn(blk.init(jax.random.PRNGKey(0), x), rng)
+    ref = blk.apply(v, x, False)
+    got = bottleneck_fused_infer(
+        x, fold_block_params(v["params"], v["batch_stats"]),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_single_block_odd_width_and_tile1():
+    """W not lane-friendly, H forcing tile_h == 1."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 1, 7, 32)), jnp.float32)
+    blk = Bottleneck(planes=8, stride=1, downsample=False,
+                     dtype=jnp.float32)
+    v = _randomize_bn(blk.init(jax.random.PRNGKey(0), x), rng)
+    ref = blk.apply(v, x, False)
+    got = bottleneck_fused_infer(
+        x, fold_block_params(v["params"], v["batch_stats"]),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_trunk_matches_module_all_stages():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)), jnp.float32)
+    trunk = ResNet(depth=50, dtype=jnp.float32)
+    v = _randomize_bn(trunk.init(jax.random.PRNGKey(0), x), rng)
+    ref = trunk.apply(v, x, train=False)
+    got = fused_resnet_infer(v, x, depth=50, dtype=jnp.float32,
+                             interpret=True)
+    assert len(ref) == len(got) == 4
+    for stage, (r, g) in enumerate(zip(ref, got)):
+        assert r.shape == g.shape
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=5e-4, rtol=5e-4,
+            err_msg=f"stage {stage}",
+        )
+
+
+def test_pick_tile_h():
+    assert pick_tile_h(64, 256) == 16
+    assert pick_tile_h(8, 2048) == 8
+    assert pick_tile_h(16, 2048) == 8
+    assert pick_tile_h(4, 1024) == 4
+    assert pick_tile_h(1, 256) == 1
+    assert pick_tile_h(12, 256) == 4
+
+
+@pytest.mark.parametrize("dt", [jnp.bfloat16])
+def test_single_block_bf16(dt):
+    """bf16 activations: fused result tracks the module within bf16
+    rounding noise."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 8, 16, 64)), dt)
+    blk = Bottleneck(planes=16, stride=1, downsample=False, dtype=dt)
+    v = _randomize_bn(blk.init(jax.random.PRNGKey(0), x), rng)
+    ref = np.asarray(blk.apply(v, x, False), np.float32)
+    got = np.asarray(
+        bottleneck_fused_infer(
+            x, fold_block_params(v["params"], v["batch_stats"]),
+            interpret=True,
+        ),
+        np.float32,
+    )
+    scale = max(np.abs(ref).max(), 1.0)
+    assert np.abs(got - ref).max() / scale < 0.05

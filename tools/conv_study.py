@@ -57,7 +57,8 @@ def main():
     p.add_argument("--hw", type=int, nargs=2, default=[256, 704])
     p.add_argument(
         "--part", default="all",
-        choices=["all", "ceiling", "stages", "bn", "convs", "stage1", "trunkab"],
+        choices=["all", "ceiling", "stages", "bn", "convs", "stage1",
+                 "trunkab", "fused"],
     )
     p.add_argument("--steps", type=int, default=50)
     args = p.parse_args()
@@ -112,6 +113,40 @@ def main():
                 )
         finally:
             _bb.MATMUL_MIN_ROWS = orig_min_rows
+
+    if args.part == "fused":
+        # Pallas fused-bottleneck trunk (ops/conv_fused.py) vs the
+        # module path, plus trunk+FPN for the end-to-end delta.
+        from simpb_tpu.models.backbone import fused_resnet_infer
+
+        tv_d = {"params": tv["params"], "batch_stats": tv["batch_stats"]}
+        timed(lambda x: trunk.apply(tv, x, train=False), img,
+              "trunk module (XLA)")
+        timed(
+            lambda x: fused_resnet_infer(
+                tv_d, x, depth=args.depth, dtype=dt
+            ),
+            img, "trunk fused-pallas",
+        )
+        timed(
+            lambda x: neck.apply(nv, trunk.apply(tv, x, train=False)),
+            img, "trunk+FPN (XLA)",
+        )
+        timed(
+            lambda x: neck.apply(
+                nv, fused_resnet_infer(tv_d, x, depth=args.depth, dtype=dt)
+            ),
+            img, "trunk+FPN (fused)",
+        )
+        ref = jax.jit(lambda x: trunk.apply(tv, x, train=False))(img)
+        got = jax.jit(
+            lambda x: fused_resnet_infer(tv_d, x, depth=args.depth, dtype=dt)
+        )(img)
+        for s, (r, g) in enumerate(zip(ref, got)):
+            r = np.asarray(r, np.float32)
+            g = np.asarray(g, np.float32)
+            print(f"  stage{s+1} max|d| {np.abs(r - g).max():.4g} "
+                  f"(scale {np.abs(r).max():.4g})")
 
     if args.part in ("all", "stages"):
         print("-- cumulative stages (subtract previous row for deltas) --")

@@ -53,6 +53,9 @@ def parse_args():
     p.add_argument("--msda-patch", action="store_true",
                    help="approximate patch-mode 2D cross-attn sampling "
                         "(~1.4x faster, PERF.md lever #1)")
+    p.add_argument("--fused-trunk", action="store_true",
+                   help="fused Pallas bottleneck trunk (inference-only, "
+                        "BN-folded numerics; ops/conv_fused.py)")
     return p.parse_args()
 
 
@@ -79,6 +82,8 @@ def main():
         cfg = dataclasses.replace(
             cfg, head=dataclasses.replace(cfg.head, msda_patch_mode=True)
         )
+    if args.fused_trunk:
+        cfg = dataclasses.replace(cfg, backbone_fused_infer=True)
     fw, fh = cfg.input_size
     aug_conf = {
         "resize_lim": (0.40, 0.47),
