@@ -345,6 +345,47 @@ def fused_resnet_infer(
     return outs
 
 
+def fused_fpn_infer(
+    variables,
+    inputs,
+    dtype: jnp.dtype = jnp.float32,
+    interpret: bool = False,
+):
+    """Serving-path FPN over the same variable tree as `FPN.apply` for
+    the released 4-in/4-out configuration: laterals (Conv1x1 routing
+    preserved), top-down broadcast upsample adds, and the 3x3 output
+    convs via the fused Pallas kernel (`ops/conv_fused.py`)."""
+    from ..ops.conv_fused import conv3x3_bias_fused
+
+    p = variables["params"]
+    laterals = []
+    for i, x in enumerate(inputs):
+        x = x.astype(dtype)
+        k = p[f"lateral_{i}"]["kernel"]
+        b = p[f"lateral_{i}"]["bias"].astype(dtype)
+        n, h, w, c = x.shape
+        if n * h * w >= MATMUL_MIN_ROWS:
+            y = (x.reshape(n * h * w, c) @ k[0, 0].astype(dtype)).reshape(
+                n, h, w, -1
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, k.astype(dtype), (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        laterals.append(y + b)
+    for i in range(len(laterals) - 1, 0, -1):
+        up = upsample2x_nearest(laterals[i], laterals[i - 1].shape[1:3])
+        laterals[i - 1] = laterals[i - 1] + up
+    return [
+        conv3x3_bias_fused(
+            lat, p[f"fpn_{i}"]["kernel"], p[f"fpn_{i}"]["bias"],
+            interpret=interpret,
+        )
+        for i, lat in enumerate(laterals)
+    ]
+
+
 class FPN(nn.Module):
     """mmdet-equivalent FPN: laterals + top-down nearest upsample + 3x3."""
 

@@ -16,7 +16,9 @@ import jax.numpy as jnp
 
 from ..configs.base import ModelConfig
 from ..ops.format import SpatialShapes, pack_feature_maps
-from .backbone import FPN, DenseDepthNet, ResNet, fused_resnet_infer
+from .backbone import (
+    FPN, DenseDepthNet, ResNet, fused_fpn_infer, fused_resnet_infer,
+)
 from .grid_mask import grid_mask
 from .head import SimPBHead
 from .instance_bank import TemporalState
@@ -71,18 +73,26 @@ class SimPB(nn.Module):
             and not self.is_initializing()
         )
         if use_fused:
+            # interpret only on CPU (tests); the axon TPU plugin may
+            # report its platform as "axon" rather than "tpu"
+            interp = jax.default_backend() == "cpu"
             feats = fused_resnet_infer(
                 self.backbone.variables,
                 x.astype(self.dtype),
                 depth=self.cfg.backbone_depth,
                 dtype=self.dtype,
-                # interpret only on CPU (tests); the axon TPU plugin may
-                # report its platform as "axon" rather than "tpu"
-                interpret=jax.default_backend() == "cpu",
+                interpret=interp,
             )
+            if self.cfg.head.num_levels == len(feats):
+                feats = fused_fpn_infer(
+                    self.neck.variables, feats, dtype=self.dtype,
+                    interpret=interp,
+                )
+            else:  # extra-conv configs keep the module FPN
+                feats = self.neck(feats)
         else:
             feats = self.backbone(x.astype(self.dtype), train=train)
-        feats = self.neck(feats)
+            feats = self.neck(feats)
         feats = [f.reshape((bs, cams) + f.shape[1:]) for f in feats]
         depths = None
         if return_depth:

@@ -122,6 +122,86 @@ def _kernel(
     o_ref[:] = jax.nn.relu(y3 + xc)
 
 
+def _conv3x3_kernel(
+    x_ref, w_ref, b_ref, o_ref, xp_ref,
+    *, tile_h: int, width: int, height: int, cdt,
+):
+    """One [tile_h, W] tile of a same-padding 3x3 conv + bias.
+
+    x_ref: [1, tile_h+2, W, C] H-halo tile; xp_ref: [tile_h+2, W+2, C]
+    VMEM scratch holding the W-zero-padded tile; o_ref: [tile_h, W, Co]
+    (batch dim squeezed).
+    """
+    i = pl.program_id(1)
+    gr = i * tile_h - 1 + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h + 2, width), 0
+    )
+    valid = (gr >= 0) & (gr < height)
+    x = jnp.where(valid[:, :, None], x_ref[0], 0).astype(cdt)
+    xp_ref[:, 0, :] = jnp.zeros_like(xp_ref[:, 0, :])
+    xp_ref[:, width + 1, :] = jnp.zeros_like(xp_ref[:, width + 1, :])
+    xp_ref[:, 1 : width + 1, :] = x
+    acc = jnp.zeros((tile_h, width, w_ref.shape[-1]), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            v = xp_ref[dy : dy + tile_h, dx : dx + width, :]
+            acc = acc + jax.lax.dot_general(
+                v, w_ref[dy, dx],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    o_ref[:] = (acc + b_ref[:][None, None, :]).astype(cdt)
+
+
+def conv3x3_bias_fused(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,  # [3, 3, C, Co]
+    bias: jnp.ndarray,  # [Co]
+    *,
+    tile_h: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Same-padding 3x3 conv + bias as a halo-tiled Pallas kernel
+    (serving path for the FPN output convs, see
+    `backbone.py::fused_fpn_infer`)."""
+    b, h, w, c = x.shape
+    co = kernel.shape[-1]
+    cdt = x.dtype
+    th = tile_h or pick_tile_h(h, c)
+    const = lambda a: pl.BlockSpec(
+        a.shape, lambda bi, hi: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _conv3x3_kernel, tile_h=th, width=w, height=h, cdt=cdt
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec(
+                (
+                    pl.Element(1, (0, 0)),
+                    pl.Element(th + 2, (1, 1)),
+                    pl.Element(w, (0, 0)),
+                    pl.Element(c, (0, 0)),
+                ),
+                lambda bi, hi: (bi, hi * th, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            const(kernel.astype(cdt)),
+            const(bias.astype(jnp.float32)),
+        ],
+        out_specs=pl.BlockSpec(
+            (pl.Squeezed(), th, w, co),
+            lambda bi, hi: (bi, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, co), cdt),
+        scratch_shapes=[pltpu.VMEM((th + 2, w + 2, c), cdt)],
+        interpret=interpret,
+    )(x, kernel.astype(cdt), bias.astype(jnp.float32))
+
+
 def pick_tile_h(height: int, channels: int) -> int:
     """Largest power-of-two divisor of `height`, capped so the halo
     tile + weights + scratch stay inside ~12 MB of VMEM."""

@@ -138,7 +138,7 @@ def test_train_then_eval_cli(tmp_path):
             sys.executable, os.path.join(REPO, "tools", "test.py"),
             "--ann-file", pkl, "--config", "tiny",
             "--checkpoint", str(work / ckpts[0]),
-            "--max-frames", "3",
+            "--max-frames", "3", "--fused-trunk",
             "--src-h", str(SRC_H), "--src-w", str(SRC_W),
         ],
         capture_output=True, text=True, env=env, timeout=1800,

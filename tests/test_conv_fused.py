@@ -10,9 +10,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from simpb_tpu.models.backbone import Bottleneck, ResNet, fused_resnet_infer
+from simpb_tpu.models.backbone import (
+    FPN, Bottleneck, ResNet, fused_fpn_infer, fused_resnet_infer,
+)
 from simpb_tpu.ops.conv_fused import (
-    bottleneck_fused_infer, fold_block_params, pick_tile_h,
+    bottleneck_fused_infer, conv3x3_bias_fused, fold_block_params,
+    pick_tile_h,
 )
 
 
@@ -88,6 +91,38 @@ def test_trunk_matches_module_all_stages():
             np.asarray(g), np.asarray(r), atol=5e-4, rtol=5e-4,
             err_msg=f"stage {stage}",
         )
+
+
+def test_fused_fpn_matches_module():
+    rng = np.random.default_rng(4)
+    shapes = [(2, 16, 24, 64), (2, 8, 12, 128), (2, 4, 6, 256),
+              (2, 2, 3, 512)]
+    feats = [jnp.asarray(rng.normal(size=s), jnp.float32) for s in shapes]
+    neck = FPN(out_channels=32, num_outs=4, dtype=jnp.float32)
+    v = neck.init(jax.random.PRNGKey(0), feats)
+    ref = neck.apply(v, feats)
+    got = fused_fpn_infer(v, feats, dtype=jnp.float32, interpret=True)
+    assert len(ref) == len(got)
+    for lvl, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=2e-5, rtol=2e-5,
+            err_msg=f"level {lvl}",
+        )
+
+
+def test_conv3x3_bias_fused_matches_lax():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 32)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(3, 3, 32, 16)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    got = conv3x3_bias_fused(x, k, b, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
 
 
 def test_pick_tile_h():

@@ -136,7 +136,16 @@ def main():
             lambda x: neck.apply(
                 nv, fused_resnet_infer(tv_d, x, depth=args.depth, dtype=dt)
             ),
-            img, "trunk+FPN (fused)",
+            img, "trunk+FPN (fused trunk, XLA FPN)",
+        )
+        from simpb_tpu.models.backbone import fused_fpn_infer
+
+        timed(
+            lambda x: fused_fpn_infer(
+                nv, fused_resnet_infer(tv_d, x, depth=args.depth, dtype=dt),
+                dtype=dt,
+            ),
+            img, "trunk+FPN (both fused)",
         )
         ref = jax.jit(lambda x: trunk.apply(tv, x, train=False))(img)
         got = jax.jit(
