@@ -286,7 +286,8 @@ def fused_resnet_infer(
     (tests/test_conv_fused.py).
     """
     from ..ops.conv_fused import (
-        BN_EPS, bottleneck_fused_infer, fold_block_params,
+        BN_EPS, bottleneck_down_fused_infer, bottleneck_fused_infer,
+        fold_block_params, fold_downsample_params,
     )
 
     params, stats = variables["params"], variables["batch_stats"]
@@ -298,25 +299,6 @@ def fused_resnet_infer(
         return f, bn["bias"].astype(jnp.float32) - st["mean"].astype(
             jnp.float32
         ) * f
-
-    def conv_bn(y, p, st, s, name, bn_name, pad):
-        k = p[name]["kernel"].astype(dtype)
-        y = jax.lax.conv_general_dilated(
-            y, k, (s, s), ((pad, pad), (pad, pad)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        f, b = bn_fold(p[bn_name], st[bn_name])
-        return (y.astype(jnp.float32) * f + b).astype(dtype)
-
-    def bottleneck_xla(y, p, st, stride):
-        # stride-2 / downsample block, folded BN (plain lax — flax
-        # modules cannot be constructed inside a bound module method)
-        idn = conv_bn(y, p, st, stride, "downsample_conv",
-                      "downsample_bn", 0)
-        y = nn.relu(conv_bn(y, p, st, 1, "conv1", "bn1", 0))
-        y = nn.relu(conv_bn(y, p, st, stride, "conv2", "bn2", 1))
-        y = conv_bn(y, p, st, 1, "conv3", "bn3", 0)
-        return nn.relu(y + idn)
 
     x = x.astype(dtype)
     k = params["conv1"]["kernel"].astype(dtype)
@@ -332,12 +314,15 @@ def fused_resnet_infer(
     for stage, num_blocks in enumerate(RESNET_STAGE_BLOCKS[depth]):
         for i in range(num_blocks):
             name = f"layer{stage + 1}_{i}"
-            if i == 0:
-                x = bottleneck_xla(
-                    x, params[name], stats[name], 2 if stage > 0 else 1
+            folded = fold_block_params(params[name], stats[name])
+            if i == 0:  # stage head: downsample skip (+stride 2 off s1)
+                x = bottleneck_down_fused_infer(
+                    x, folded,
+                    fold_downsample_params(params[name], stats[name]),
+                    2 if stage > 0 else 1,
+                    interpret=interpret,
                 )
             else:
-                folded = fold_block_params(params[name], stats[name])
                 x = bottleneck_fused_infer(
                     x, folded, interpret=interpret
                 )

@@ -122,6 +122,147 @@ def _kernel(
     o_ref[:] = jax.nn.relu(y3 + xc)
 
 
+def fold_downsample_params(params: Dict, stats: Dict):
+    """BN-fold of the downsample (skip-projection) conv of a stage-head
+    bottleneck; returns (wd [C, Co], bd [Co]) in float32."""
+    k = params["downsample_conv"]["kernel"].astype(jnp.float32)
+    bn = params["downsample_bn"]
+    st = stats["downsample_bn"]
+    f = bn["scale"].astype(jnp.float32) * jax.lax.rsqrt(
+        st["var"].astype(jnp.float32) + BN_EPS
+    )
+    return k[0, 0] * f, bn["bias"].astype(jnp.float32) - st[
+        "mean"
+    ].astype(jnp.float32) * f
+
+
+def _kernel_down(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, wd_ref,
+    bd_ref, o_ref, y1_ref,
+    *, tile_h: int, width: int, height: int, stride: int, cdt,
+):
+    """One [tile_h, W//stride] output tile of a stage-head bottleneck
+    (1x1 -> 3x3/stride -> 1x1 plus a strided 1x1 skip projection).
+
+    x_ref: [1, stride*tile_h+2, W, C] H-halo tile of the INPUT
+    resolution; y1_ref: [stride*tile_h+2, W+2, Cm] scratch;
+    o_ref: [tile_h, W//stride, Co]. Stride-2 W selection uses
+    sublane-strided slices; stride-2 rows are outer-dim strides.
+    """
+    i = pl.program_id(1)
+    s = stride
+    rows = s * tile_h + 2
+    out_w = width // s
+    x = x_ref[0]
+
+    y1 = jax.lax.dot_general(
+        x.astype(cdt), w1_ref[:],
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y1 = jax.nn.relu(y1 + b1_ref[:][None, None, :])
+    gr = i * s * tile_h - 1 + jax.lax.broadcasted_iota(
+        jnp.int32, (rows, width), 0
+    )
+    valid = (gr >= 0) & (gr < height)
+    y1 = jnp.where(valid[:, :, None], y1, 0.0).astype(cdt)
+    y1_ref[:, 0, :] = jnp.zeros_like(y1_ref[:, 0, :])
+    y1_ref[:, width + 1, :] = jnp.zeros_like(y1_ref[:, width + 1, :])
+    y1_ref[:, 1 : width + 1, :] = y1
+
+    acc = jnp.zeros((tile_h, out_w, w2_ref.shape[-1]), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            v = y1_ref[
+                dy : dy + s * tile_h : s,
+                dx : dx + s * (out_w - 1) + 1 : s,
+                :,
+            ]
+            acc = acc + jax.lax.dot_general(
+                v, w2_ref[dy, dx],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    y2 = jax.nn.relu(acc + b2_ref[:][None, None, :]).astype(cdt)
+
+    y3 = jax.lax.dot_general(
+        y2, w3_ref[:],
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y3 = y3 + b3_ref[:][None, None, :]
+
+    # skip projection: 1x1/stride on the raw input (no padding).
+    # NOTE: slice the REF, not the loaded value — strided slices lower
+    # as strided VMEM loads on refs but as (unsupported >2D) gathers on
+    # values.
+    xs = x_ref[0, 1 : 1 + s * tile_h : s, 0 : s * (out_w - 1) + 1 : s, :]
+    xd = jax.lax.dot_general(
+        xs.astype(cdt), wd_ref[:],
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    xd = xd + bd_ref[:][None, None, :]
+    o_ref[:] = jax.nn.relu(y3 + xd).astype(cdt)
+
+
+def bottleneck_down_fused_infer(
+    x: jnp.ndarray,
+    folded: Tuple[jnp.ndarray, ...],
+    folded_down: Tuple[jnp.ndarray, jnp.ndarray],
+    stride: int,
+    *,
+    tile_h: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Apply one stage-head bottleneck (downsample skip, stride 1 or 2)."""
+    b, h, w, c = x.shape
+    w1, b1, w2, b2, w3, b3 = folded
+    wd, bd = folded_down
+    cm, co = w1.shape[1], w3.shape[1]
+    cdt = x.dtype
+    w1, w2, w3, wd = (
+        w1.astype(cdt), w2.astype(cdt), w3.astype(cdt), wd.astype(cdt)
+    )
+    oh, ow = h // stride, w // stride
+    th = tile_h or pick_tile_h(oh, max(c, co))
+    rows = stride * th + 2
+
+    const = lambda a: pl.BlockSpec(
+        a.shape, lambda bi, hi: (0,) * a.ndim, memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _kernel_down, tile_h=th, width=w, height=h, stride=stride,
+        cdt=cdt,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b, oh // th),
+        in_specs=[
+            pl.BlockSpec(
+                (
+                    pl.Element(1, (0, 0)),
+                    pl.Element(rows, (1, 1)),
+                    pl.Element(w, (0, 0)),
+                    pl.Element(c, (0, 0)),
+                ),
+                lambda bi, hi, s=stride, t=th: (bi, hi * s * t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            const(w1), const(b1), const(w2), const(b2), const(w3),
+            const(b3), const(wd), const(bd),
+        ],
+        out_specs=pl.BlockSpec(
+            (pl.Squeezed(), th, ow, co),
+            lambda bi, hi: (bi, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, oh, ow, co), cdt),
+        scratch_shapes=[pltpu.VMEM((rows, w + 2, cm), cdt)],
+        interpret=interpret,
+    )(x, w1, b1, w2, b2, w3, b3, wd, bd)
+
+
 def _conv3x3_kernel(
     x_ref, w_ref, b_ref, o_ref, xp_ref,
     *, tile_h: int, width: int, height: int, cdt,

@@ -14,7 +14,8 @@ from simpb_tpu.models.backbone import (
     FPN, Bottleneck, ResNet, fused_fpn_infer, fused_resnet_infer,
 )
 from simpb_tpu.ops.conv_fused import (
-    bottleneck_fused_infer, conv3x3_bias_fused, fold_block_params,
+    bottleneck_down_fused_infer, bottleneck_fused_infer,
+    conv3x3_bias_fused, fold_block_params, fold_downsample_params,
     pick_tile_h,
 )
 
@@ -91,6 +92,28 @@ def test_trunk_matches_module_all_stages():
             np.asarray(g), np.asarray(r), atol=5e-4, rtol=5e-4,
             err_msg=f"stage {stage}",
         )
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_downsample_block_matches_module(stride):
+    """Stage-head bottleneck (downsample skip; stride 2 off stage 1)."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, 64)), jnp.float32)
+    blk = Bottleneck(planes=32, stride=stride, downsample=True,
+                     dtype=jnp.float32)
+    v = _randomize_bn(blk.init(jax.random.PRNGKey(0), x), rng)
+    ref = blk.apply(v, x, False)
+    got = bottleneck_down_fused_infer(
+        x,
+        fold_block_params(v["params"], v["batch_stats"]),
+        fold_downsample_params(v["params"], v["batch_stats"]),
+        stride,
+        interpret=True,
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
 
 
 def test_fused_fpn_matches_module():
