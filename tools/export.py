@@ -38,6 +38,9 @@ def parse_args():
     p.add_argument("--smoke", action="store_true",
                    help="deserialize and run 2 frames as a self-check")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--fused-trunk", action="store_true",
+                   help="embed the fused Pallas serving trunk "
+                        "(BN-folded numerics; TPU-platform artifacts)")
     return p.parse_args()
 
 
@@ -71,6 +74,8 @@ def main():
         cfg = dataclasses.replace(
             cfg, compute_dtype="bfloat16", head_dtype="bfloat16"
         )
+    if args.fused_trunk:
+        cfg = dataclasses.replace(cfg, backbone_fused_infer=True)
 
     model = SimPB(cfg)
     bs, cams = args.batch_size, cfg.head.num_cams
