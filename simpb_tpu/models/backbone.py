@@ -287,7 +287,7 @@ def fused_resnet_infer(
     """
     from ..ops.conv_fused import (
         BN_EPS, bottleneck_down_fused_infer, bottleneck_fused_infer,
-        fold_block_params, fold_downsample_params,
+        fold_block_params, fold_downsample_params, maxpool_3x3_s2_fused,
     )
 
     params, stats = variables["params"], variables["batch_stats"]
@@ -308,7 +308,10 @@ def fused_resnet_infer(
     )
     f, b = bn_fold(params["bn1"], stats["bn1"])
     x = nn.relu((x.astype(jnp.float32) * f + b).astype(dtype))
-    x = maxpool_3x3_s2(x)
+    if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        x = maxpool_3x3_s2_fused(x, interpret=interpret)
+    else:
+        x = maxpool_3x3_s2(x)
 
     outs = []
     for stage, num_blocks in enumerate(RESNET_STAGE_BLOCKS[depth]):

@@ -133,6 +133,18 @@ def test_fused_fpn_matches_module():
         )
 
 
+def test_maxpool_fused_matches_reference():
+    from simpb_tpu.models.backbone import maxpool_3x3_s2
+    from simpb_tpu.ops.conv_fused import maxpool_3x3_s2_fused
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, 8)), jnp.float32)
+    ref = maxpool_3x3_s2(x)
+    got = maxpool_3x3_s2_fused(x, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_conv3x3_bias_fused_matches_lax():
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.normal(size=(2, 8, 12, 32)), jnp.float32)
