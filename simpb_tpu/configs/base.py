@@ -127,6 +127,12 @@ class ModelConfig:
     # read + one write per block). Numerics = BN-folded inference
     # (tests/test_conv_fused.py); train path unaffected.
     backbone_fused_infer: bool = False
+    # Pallas interpret-mode override for the fused path. None = auto
+    # (interpret on the cpu backend, compiled elsewhere). Exporters MUST
+    # pin this explicitly: an artifact traced on a CPU host for TPU
+    # must embed compiled Mosaic kernels (False), and a CPU artifact
+    # needs the interpreted form (True) — see tools/export.py.
+    backbone_fused_interpret: Optional[bool] = None
     use_grid_mask: bool = True
     num_depth_layers: int = 3
     depth_loss_weight: float = 0.2

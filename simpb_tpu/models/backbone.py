@@ -32,6 +32,31 @@ RESNET_STAGE_BLOCKS = {
 MATMUL_MIN_ROWS = 128 * 1024
 
 
+def conv1x1_apply(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,  # [1, 1, C, Co]
+    bias: jnp.ndarray | None = None,
+    min_rows: int | None = None,
+) -> jnp.ndarray:
+    """1x1 conv with the measured matmul/conv routing — the single
+    implementation behind both the Conv1x1 module and the fused
+    serving FPN (see Conv1x1's docstring for the measurements)."""
+    n, h, w, c = x.shape
+    mr = MATMUL_MIN_ROWS if min_rows is None else min_rows
+    if n * h * w >= mr:
+        y = (x.reshape(n * h * w, c) @ kernel[0, 0]).reshape(
+            n, h, w, kernel.shape[-1]
+        )
+    else:
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 class Conv1x1(nn.Module):
     """1x1 conv that may lower as a matmul (param-compatible `nn.Conv`).
 
@@ -66,28 +91,15 @@ class Conv1x1(nn.Module):
         x = x.astype(self.dtype)
         if self.stride != 1:
             x = x[:, :: self.stride, :: self.stride]
-        n, h, w, c = x.shape
-        min_rows = (
-            MATMUL_MIN_ROWS
-            if self.matmul_min_rows is None
-            else self.matmul_min_rows
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            .astype(self.dtype)
+            if self.use_bias
+            else None
         )
-        if n * h * w >= min_rows:
-            k2 = kernel[0, 0].astype(self.dtype)
-            y = (x.reshape(n * h * w, c) @ k2).reshape(
-                n, h, w, self.features
-            )
-        else:
-            y = jax.lax.conv_general_dilated(
-                x, kernel.astype(self.dtype), (1, 1), ((0, 0), (0, 0)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-        if self.use_bias:
-            bias = self.param(
-                "bias", nn.initializers.zeros, (self.features,)
-            )
-            y = y + bias.astype(self.dtype)
-        return y
+        return conv1x1_apply(
+            x, kernel.astype(self.dtype), bias, self.matmul_min_rows
+        )
 
 
 class Bottleneck(nn.Module):
@@ -286,19 +298,11 @@ def fused_resnet_infer(
     (tests/test_conv_fused.py).
     """
     from ..ops.conv_fused import (
-        BN_EPS, bottleneck_down_fused_infer, bottleneck_fused_infer,
+        bottleneck_down_fused_infer, bottleneck_fused_infer, fold_bn,
         fold_block_params, fold_downsample_params, maxpool_3x3_s2_fused,
     )
 
     params, stats = variables["params"], variables["batch_stats"]
-
-    def bn_fold(bn, st):
-        f = bn["scale"].astype(jnp.float32) * jax.lax.rsqrt(
-            st["var"].astype(jnp.float32) + BN_EPS
-        )
-        return f, bn["bias"].astype(jnp.float32) - st["mean"].astype(
-            jnp.float32
-        ) * f
 
     x = x.astype(dtype)
     k = params["conv1"]["kernel"].astype(dtype)
@@ -306,7 +310,7 @@ def fused_resnet_infer(
         x, k, (2, 2), ((3, 3), (3, 3)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    f, b = bn_fold(params["bn1"], stats["bn1"])
+    f, b = fold_bn(params["bn1"], stats["bn1"])
     x = nn.relu((x.astype(jnp.float32) * f + b).astype(dtype))
     if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
         x = maxpool_3x3_s2_fused(x, interpret=interpret)
@@ -346,22 +350,14 @@ def fused_fpn_infer(
     from ..ops.conv_fused import conv3x3_bias_fused
 
     p = variables["params"]
-    laterals = []
-    for i, x in enumerate(inputs):
-        x = x.astype(dtype)
-        k = p[f"lateral_{i}"]["kernel"]
-        b = p[f"lateral_{i}"]["bias"].astype(dtype)
-        n, h, w, c = x.shape
-        if n * h * w >= MATMUL_MIN_ROWS:
-            y = (x.reshape(n * h * w, c) @ k[0, 0].astype(dtype)).reshape(
-                n, h, w, -1
-            )
-        else:
-            y = jax.lax.conv_general_dilated(
-                x, k.astype(dtype), (1, 1), ((0, 0), (0, 0)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-        laterals.append(y + b)
+    laterals = [
+        conv1x1_apply(
+            x.astype(dtype),
+            p[f"lateral_{i}"]["kernel"].astype(dtype),
+            p[f"lateral_{i}"]["bias"].astype(dtype),
+        )
+        for i, x in enumerate(inputs)
+    ]
     for i in range(len(laterals) - 1, 0, -1):
         up = upsample2x_nearest(laterals[i], laterals[i - 1].shape[1:3])
         laterals[i - 1] = laterals[i - 1] + up

@@ -73,9 +73,15 @@ class SimPB(nn.Module):
             and not self.is_initializing()
         )
         if use_fused:
-            # interpret only on CPU (tests); the axon TPU plugin may
-            # report its platform as "axon" rather than "tpu"
-            interp = jax.default_backend() == "cpu"
+            # interpret on CPU (tests) unless the config pins it — an
+            # export for TPU traced on a CPU host must pin False (the
+            # axon TPU plugin may also report its platform as "axon"
+            # rather than "tpu", hence == "cpu" and not != "tpu")
+            interp = (
+                jax.default_backend() == "cpu"
+                if self.cfg.backbone_fused_interpret is None
+                else self.cfg.backbone_fused_interpret
+            )
             feats = fused_resnet_infer(
                 self.backbone.variables,
                 x.astype(self.dtype),

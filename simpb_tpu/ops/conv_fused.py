@@ -21,8 +21,11 @@ rides the 128-wide lane axis, the 3x3 taps become 9 shifted
 `dot_general`s on the MXU (no im2col materialisation), halo rows come
 from `pl.Element` block dims with (1, 1) padding, and out-of-image halo
 positions (undefined memory) are masked to zero — exactly the zero
-padding the reference convs use. Stride-2 / downsample blocks (4 of 16
-in r50) stay on the XLA path via the unchanged flax module.
+padding the reference convs use. Stage-head blocks (downsample skip
+projection, stride-2 off stage 1) run in the `_kernel_down` variant —
+stride-2 selection must slice REFS, not values (values lower as
+unsupported >2D gathers) — and the stem max-pool has its own
+single-pass kernel, so the whole post-stem trunk is Pallas.
 
 The train path is untouched: gradients still flow through the flax
 Bottleneck; this kernel is inference-only, like
@@ -41,24 +44,30 @@ from jax.experimental.pallas import tpu as pltpu
 BN_EPS = 1e-5  # torch parity (CLAUDE.md)
 
 
+def fold_bn(bn: Dict, st: Dict) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Trace-time BN fold: returns (scale f, bias b) in float32 such
+    that BN(x) == x * f + b at inference. The single source of the
+    fold formula for every fused-path call site (numerically the fold
+    of `utils/fuse_bn.py::_fold_pair`)."""
+    f = bn["scale"].astype(jnp.float32) * jax.lax.rsqrt(
+        st["var"].astype(jnp.float32) + BN_EPS
+    )
+    return f, bn["bias"].astype(jnp.float32) - st["mean"].astype(
+        jnp.float32
+    ) * f
+
+
 def fold_block_params(params: Dict, stats: Dict) -> Tuple[jnp.ndarray, ...]:
     """Fold BN into conv weights for one bottleneck block.
 
     Returns (w1 [C, Cm], b1 [Cm], w2 [3, 3, Cm, Cm], b2 [Cm],
-    w3 [Cm, C], b3 [C]) in float32; numerically the BN fold of
-    `utils/fuse_bn.py::_fold_pair` applied at trace time.
+    w3 [Cm, C], b3 [C]) in float32.
     """
 
     def fold(conv_name, bn_name):
         k = params[conv_name]["kernel"].astype(jnp.float32)
-        bn = params[bn_name]
-        st = stats[bn_name]
-        f = bn["scale"].astype(jnp.float32) * jax.lax.rsqrt(
-            st["var"].astype(jnp.float32) + BN_EPS
-        )
-        return k * f, bn["bias"].astype(jnp.float32) - st[
-            "mean"
-        ].astype(jnp.float32) * f
+        f, b = fold_bn(params[bn_name], stats[bn_name])
+        return k * f, b
 
     k1, b1 = fold("conv1", "bn1")
     k2, b2 = fold("conv2", "bn2")
@@ -126,14 +135,8 @@ def fold_downsample_params(params: Dict, stats: Dict):
     """BN-fold of the downsample (skip-projection) conv of a stage-head
     bottleneck; returns (wd [C, Co], bd [Co]) in float32."""
     k = params["downsample_conv"]["kernel"].astype(jnp.float32)
-    bn = params["downsample_bn"]
-    st = stats["downsample_bn"]
-    f = bn["scale"].astype(jnp.float32) * jax.lax.rsqrt(
-        st["var"].astype(jnp.float32) + BN_EPS
-    )
-    return k[0, 0] * f, bn["bias"].astype(jnp.float32) - st[
-        "mean"
-    ].astype(jnp.float32) * f
+    f, b = fold_bn(params["downsample_bn"], stats["downsample_bn"])
+    return k[0, 0] * f, b
 
 
 def _kernel_down(
@@ -225,7 +228,17 @@ def bottleneck_down_fused_infer(
         w1.astype(cdt), w2.astype(cdt), w3.astype(cdt), wd.astype(cdt)
     )
     oh, ow = h // stride, w // stride
-    th = tile_h or pick_tile_h(oh, max(c, co))
+    it = jnp.dtype(cdt).itemsize
+    row_bytes = (
+        2 * stride * w * c * it  # input tile, double-buffered
+        + 2 * ow * co * it  # output tile, double-buffered
+        + stride * (w + 2) * _lane(cm) * it  # y1 scratch
+        + ow * _lane(cm) * 4  # f32 accumulator
+    )
+    fixed = (c * cm + 9 * cm * cm + cm * co + c * co) * it + 2 * (
+        2 * w * c * it + (w + 2) * _lane(cm) * it
+    )
+    th = tile_h or pick_tile_h(oh, row_bytes, fixed)
     rows = stride * th + 2
 
     const = lambda a: pl.BlockSpec(
@@ -308,7 +321,13 @@ def conv3x3_bias_fused(
     b, h, w, c = x.shape
     co = kernel.shape[-1]
     cdt = x.dtype
-    th = tile_h or pick_tile_h(h, c)
+    it = jnp.dtype(cdt).itemsize
+    row_bytes = (
+        2 * w * c * it + 2 * w * co * it
+        + (w + 2) * _lane(c) * it + w * _lane(co) * 4
+    )
+    fixed = 9 * c * co * it + 2 * (w * c * it + (w + 2) * _lane(c) * it)
+    th = tile_h or pick_tile_h(h, row_bytes, fixed)
     const = lambda a: pl.BlockSpec(
         a.shape, lambda bi, hi: (0,) * a.ndim, memory_space=pltpu.VMEM
     )
@@ -385,7 +404,12 @@ def maxpool_3x3_s2_fused(
     b, h, w, c = x.shape
     cdt = x.dtype
     oh, ow = h // 2, w // 2
-    th = tile_h or pick_tile_h(oh, c)
+    it = jnp.dtype(cdt).itemsize
+    row_bytes = (
+        4 * w * c * it  # 2 input rows per output row, double-buffered
+        + 2 * ow * c * it + 2 * (w + 2) * _lane(c) * it
+    )
+    th = tile_h or pick_tile_h(oh, row_bytes, (w + 2) * _lane(c) * it)
     kern = functools.partial(
         _maxpool_kernel, tile_h=th, width=w, height=h, cdt=cdt
     )
@@ -415,12 +439,26 @@ def maxpool_3x3_s2_fused(
     )(x)
 
 
-def pick_tile_h(height: int, channels: int) -> int:
-    """Largest power-of-two divisor of `height`, capped so the halo
-    tile + weights + scratch stay inside ~12 MB of VMEM."""
-    cap = 8 if channels >= 2048 else 16
+VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom in ~16 MB/core
+
+
+def _lane(c: int) -> int:
+    return max(c, 128)  # lane-dim padding in VMEM
+
+
+def pick_tile_h(
+    height: int, row_bytes: int, fixed_bytes: int = 0, cap: int = 64
+) -> int:
+    """Largest power-of-two divisor of `height` (<= cap) such that
+    `row_bytes * th + fixed_bytes` fits the VMEM budget. `row_bytes`
+    must already include double-buffering on the in/out blocks;
+    `fixed_bytes` covers weights and halo rows."""
     th = 1
-    while th * 2 <= cap and height % (th * 2) == 0:
+    while (
+        th * 2 <= min(height, cap)
+        and height % (th * 2) == 0
+        and row_bytes * (th * 2) + fixed_bytes <= VMEM_BUDGET
+    ):
         th *= 2
     return th
 
@@ -442,7 +480,16 @@ def bottleneck_fused_infer(
     cm = w1.shape[1]
     cdt = x.dtype
     w1, w2, w3 = w1.astype(cdt), w2.astype(cdt), w3.astype(cdt)
-    th = tile_h or pick_tile_h(h, c)
+    it = jnp.dtype(cdt).itemsize
+    row_bytes = (
+        4 * w * c * it  # in + out tiles, double-buffered
+        + (w + 2) * _lane(cm) * it  # y1 scratch
+        + w * _lane(cm) * 4  # f32 accumulator
+    )
+    fixed = (2 * c * cm + 9 * cm * cm) * it + 2 * (
+        w * c * it + (w + 2) * _lane(cm) * it
+    )
+    th = tile_h or pick_tile_h(h, row_bytes, fixed)
 
     const = lambda a: pl.BlockSpec(
         a.shape, lambda bi, hi: (0,) * a.ndim, memory_space=pltpu.VMEM

@@ -149,3 +149,17 @@ def test_train_then_eval_cli(tmp_path):
         test.stdout[test.stdout.index("{") :].split("}")[0] + "}"
     )
     assert 0.0 <= metrics["NDS"] <= 1.0
+
+    # default (module/XLA) eval path keeps e2e coverage too
+    test_default = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "tools", "test.py"),
+            "--ann-file", pkl, "--config", "tiny",
+            "--checkpoint", str(work / ckpts[0]),
+            "--max-frames", "2",
+            "--src-h", str(SRC_H), "--src-w", str(SRC_W),
+        ],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    assert test_default.returncode == 0, test_default.stderr[-3000:]
+    assert '"mAP"' in test_default.stdout

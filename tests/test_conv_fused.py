@@ -161,12 +161,69 @@ def test_conv3x3_bias_fused_matches_lax():
 
 
 def test_pick_tile_h():
-    assert pick_tile_h(64, 256) == 16
-    assert pick_tile_h(8, 2048) == 8
-    assert pick_tile_h(16, 2048) == 8
-    assert pick_tile_h(4, 1024) == 4
-    assert pick_tile_h(1, 256) == 1
-    assert pick_tile_h(12, 256) == 4
+    from simpb_tpu.ops.conv_fused import VMEM_BUDGET
+
+    # grows while the budget allows, always divides height
+    assert pick_tile_h(64, row_bytes=1 << 20) == 8  # 8 MB < budget < 16
+    assert pick_tile_h(64, 1 << 20, fixed_bytes=6 << 20) == 4
+    assert pick_tile_h(1, 100) == 1
+    assert pick_tile_h(12, 100) == 4  # power-of-two divisor only
+    assert pick_tile_h(64, 100, cap=16) == 16
+    th = pick_tile_h(64, 123456, 789)
+    assert 64 % th == 0 and th * 123456 + 789 <= VMEM_BUDGET
+
+
+def test_multi_tile_grid_halo_arithmetic():
+    """Force several H tiles per image so the hi>0 halo offsets, the
+    Element index maps, and inter-tile halo reads actually execute
+    (production shapes use 4+ tiles; the auto tile picker makes the
+    small test shapes single-tile)."""
+    from simpb_tpu.models.backbone import maxpool_3x3_s2
+    from simpb_tpu.ops.conv_fused import maxpool_3x3_s2_fused
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(2, 16, 12, 32)), jnp.float32)
+
+    # stride-1 bottleneck, 4 tiles
+    blk = Bottleneck(planes=8, stride=1, downsample=False,
+                     dtype=jnp.float32)
+    v = _randomize_bn(blk.init(jax.random.PRNGKey(0), x), rng)
+    ref = blk.apply(v, x, False)
+    got = bottleneck_fused_infer(
+        x, fold_block_params(v["params"], v["batch_stats"]),
+        tile_h=4, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    # stride-2 stage head, 4 tiles of the 8-row output
+    blk2 = Bottleneck(planes=8, stride=2, downsample=True,
+                      dtype=jnp.float32)
+    v2 = _randomize_bn(blk2.init(jax.random.PRNGKey(1), x), rng)
+    ref2 = blk2.apply(v2, x, False)
+    got2 = bottleneck_down_fused_infer(
+        x, fold_block_params(v2["params"], v2["batch_stats"]),
+        fold_downsample_params(v2["params"], v2["batch_stats"]),
+        2, tile_h=2, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               atol=2e-5, rtol=2e-5)
+
+    # 3x3 conv, 4 tiles
+    k = jnp.asarray(rng.normal(size=(3, 3, 32, 16)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(16,)), jnp.float32)
+    ref3 = jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    got3 = conv3x3_bias_fused(x, k, b, tile_h=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(ref3),
+                               atol=2e-5, rtol=2e-5)
+
+    # max-pool, 4 tiles of the 8-row output
+    ref4 = maxpool_3x3_s2(x)
+    got4 = maxpool_3x3_s2_fused(x, tile_h=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got4), np.asarray(ref4))
 
 
 @pytest.mark.parametrize("dt", [jnp.bfloat16])

@@ -75,7 +75,21 @@ def main():
             cfg, compute_dtype="bfloat16", head_dtype="bfloat16"
         )
     if args.fused_trunk:
-        cfg = dataclasses.replace(cfg, backbone_fused_infer=True)
+        plats = [p.lower() for p in (args.platforms or [jax.default_backend()])]
+        if len(set(plats)) > 1:
+            raise SystemExit(
+                "--fused-trunk artifacts are single-platform: the Pallas "
+                "kernels embed either compiled Mosaic custom calls (tpu) "
+                "or their interpreted form (cpu), not both"
+            )
+        cfg = dataclasses.replace(
+            cfg,
+            backbone_fused_infer=True,
+            # pin interpret by TARGET platform, not the tracing host: a
+            # TPU artifact exported from a CPU host must embed compiled
+            # Mosaic kernels
+            backbone_fused_interpret=plats[0] == "cpu",
+        )
 
     model = SimPB(cfg)
     bs, cams = args.batch_size, cfg.head.num_cams
