@@ -114,19 +114,23 @@ class NuScenesDataset:
             flip = bool(conf["rand_flip"] and rng.integers(2))
             rotate = float(rng.uniform(*conf["rot_lim"]))
             rotate_3d = float(rng.uniform(*conf["rot3d_range"]))
+            scale_3d = float(
+                rng.uniform(*conf.get("scale_ratio_range", [1.0, 1.0]))
+            )
         else:
             resize = max(fh / h, fw / w)
             new_w, new_h = int(w * resize), int(h * resize)
             crop_h = int((1 - np.mean(conf["bot_pct_lim"])) * new_h) - fh
             crop_w = int(max(0, new_w - fw) / 2)
             crop = (crop_w, crop_h, crop_w + fw, crop_h + fh)
-            flip, rotate, rotate_3d = False, 0.0, 0.0
+            flip, rotate, rotate_3d, scale_3d = False, 0.0, 0.0, 1.0
         return {
             "resize": resize,
             "crop": crop,
             "flip": flip,
             "rotate": rotate,
             "rotate_3d": rotate_3d,
+            "scale_3d": scale_3d,
             "final_dim": (fh, fw),
         }
 
@@ -256,6 +260,10 @@ class NuScenesDataset:
         # 3D rotation aug
         if not self.test_mode and aug.get("rotate_3d"):
             T.rotate_3d(sample, aug["rotate_3d"])
+        # 3D scale aug (reference BBoxScale; identity unless the
+        # data_aug_conf sets scale_ratio_range != [1, 1])
+        if not self.test_mode and aug.get("scale_3d", 1.0) != 1.0:
+            T.scale_3d(sample, aug["scale_3d"])
 
         if not self.test_mode and rng is not None:
             new_imgs = T.photometric_distortion(rng, new_imgs)

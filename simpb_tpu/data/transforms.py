@@ -222,6 +222,25 @@ def rotate_3d(sample: Dict, angle: float) -> Dict:
     return sample
 
 
+def scale_3d(sample: Dict, scale_ratio: float) -> Dict:
+    """Global-frame 3D scale augmentation (reference BBoxScale,
+    pipelines/augment.py:277-306): right-multiplies all lidar2x matrices
+    by S^-1 and scales box centers/sizes/velocities (yaw untouched).
+    Registered-but-unused in the released configs; provided for config
+    parity."""
+    s = float(scale_ratio)
+    scale_inv = np.diag([1.0 / s, 1.0 / s, 1.0 / s, 1.0])
+    sample["lidar2img"] = [m @ scale_inv for m in sample["lidar2img"]]
+    sample["extrinsics"] = [m @ scale_inv for m in sample["extrinsics"]]
+    if "lidar2global" in sample:
+        sample["lidar2global"] = sample["lidar2global"] @ scale_inv
+    if "gt_bboxes_3d" in sample and len(sample["gt_bboxes_3d"]):
+        box = sample["gt_bboxes_3d"]
+        box[:, :6] *= s
+        box[:, 7:] *= s
+    return sample
+
+
 def depth_maps_from_points(
     points: np.ndarray,
     lidar2imgs: Sequence[np.ndarray],

@@ -65,6 +65,40 @@ def test_depth_maps_from_points():
     assert maps[0][0, 4, 8] == pytest.approx(10.0)
 
 
+def test_scale_3d_projection_invariance():
+    """Scaling world coords while right-multiplying lidar2img by S^-1
+    must keep each GT center's projected pixel fixed (reference
+    BBoxScale, pipelines/augment.py:277-306)."""
+    rng = np.random.default_rng(1)
+    l2i = np.eye(4)
+    l2i[0, 0] = l2i[1, 1] = 500.0
+    l2i[0, 2], l2i[1, 2] = 352.0, 128.0
+    boxes = rng.uniform(-1, 1, (4, 9)).astype(np.float64)
+    boxes[:, 2] = rng.uniform(5, 20, 4)  # in front of the camera
+    sample = {
+        "lidar2img": [l2i.copy()],
+        "extrinsics": [np.eye(4)],
+        "lidar2global": np.eye(4),
+        "gt_bboxes_3d": boxes.copy(),
+    }
+
+    def project(m, xyz):
+        p = m @ np.append(xyz, 1.0)
+        return p[:2] / p[2]
+
+    before = [project(l2i, b[:3]) for b in boxes]
+    out = T.scale_3d(sample, 1.3)
+    yaw_before = boxes[:, 6].copy()
+    for i, b in enumerate(out["gt_bboxes_3d"]):
+        np.testing.assert_allclose(b[:3], boxes[i, :3] * 1.3)
+        np.testing.assert_allclose(b[3:6], boxes[i, 3:6] * 1.3)
+        np.testing.assert_allclose(b[7:], boxes[i, 7:] * 1.3)
+        np.testing.assert_allclose(
+            project(out["lidar2img"][0], b[:3]), before[i], atol=1e-9
+        )
+    np.testing.assert_allclose(out["gt_bboxes_3d"][:, 6], yaw_before)
+
+
 def make_fake_infos(tmp_path, n_frames=12, n_seq=2):
     rng = np.random.default_rng(0)
     infos = []

@@ -1,4 +1,4 @@
-"""300-step training stability at the flagship fast config (bs=2).
+"""Training-stability study: 300 steps at the flagship fast config (bs=2).
 
 Extends the 60-step round-2 evidence (PERF.md): loss stays finite and
 plateaus on random synthetic data; temporal + DN state threaded
