@@ -114,8 +114,13 @@ class NuScenesDataset:
             flip = bool(conf["rand_flip"] and rng.integers(2))
             rotate = float(rng.uniform(*conf["rot_lim"]))
             rotate_3d = float(rng.uniform(*conf["rot3d_range"]))
-            scale_3d = float(
-                rng.uniform(*conf.get("scale_ratio_range", [1.0, 1.0]))
+            # draw only when configured: an unconditional draw would
+            # shift the shared seeded rng stream for every existing
+            # config (reproducibility of prior runs)
+            scale_3d = (
+                float(rng.uniform(*conf["scale_ratio_range"]))
+                if "scale_ratio_range" in conf
+                else 1.0
             )
         else:
             resize = max(fh / h, fw / w)

@@ -11,8 +11,6 @@ simpb.py:110-122: extract_feat -> head), with every parameter family
 loaded from a single reference-layout state dict exactly like a real
 released .pth.
 """
-import dataclasses
-
 import numpy as np
 import pytest
 import torch
@@ -118,17 +116,15 @@ def stack():
         {"params": params, "batch_stats": stats}, img_j, proj_j,
         train=False,
     )
-    return t_out, j_out, sd, cfg, variables
+    return t_out, j_out, (loaded, stats), params, variables
 
 
 def test_combined_state_dict_covers_every_family(stack):
-    _, _, sd, cfg, variables = stack
-    loaded, stats = torch_to_flax(sd, cfg)
+    _, _, (loaded, stats), merged, variables = stack
     assert set(loaded) >= {"img_backbone", "img_neck", "head",
                            "depth_branch"}
     assert "img_backbone" in stats
     # the merged tree must retain the init tree's structure exactly
-    merged = merge_params(variables["params"], loaded)
     assert jax.tree_util.tree_structure(merged) == (
         jax.tree_util.tree_structure(variables["params"])
     )

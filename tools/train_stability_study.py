@@ -4,7 +4,10 @@ Extends the 60-step round-2 evidence (PERF.md): loss stays finite and
 plateaus on random synthetic data; temporal + DN state threaded
 throughout. 30 distinct batches cycled (training state changes every
 step, so the tunnel result cache cannot serve repeats)."""
-import dataclasses, json, time
+import dataclasses, json, os, sys, time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax, numpy as np
 from simpb_tpu.configs.base import TrainConfig, simpb_r50_704x256_fast
 from simpb_tpu.models.detector import SimPB
