@@ -98,11 +98,13 @@ def _kernel(
         preferred_element_type=jnp.float32,
     )
     y1 = jax.nn.relu(y1 + b1_ref[:][None, None, :])
+    # 3-D iota: older Mosaic builds reject minor-dim-inserting mask
+    # broadcasts on non-32-bit selects, so never broadcast a 2-D mask.
     gr = i * tile_h - 1 + jax.lax.broadcasted_iota(
-        jnp.int32, (tile_h + 2, width), 0
+        jnp.int32, y1.shape, 0
     )
     valid = (gr >= 0) & (gr < height)
-    y1 = jnp.where(valid[:, :, None], y1, 0.0).astype(cdt)
+    y1 = jnp.where(valid, y1, 0.0).astype(cdt)
     # conv2's W zero-padding, materialised in VMEM scratch
     y1_ref[:, 0, :] = jnp.zeros_like(y1_ref[:, 0, :])
     y1_ref[:, width + 1, :] = jnp.zeros_like(y1_ref[:, width + 1, :])
@@ -165,10 +167,10 @@ def _kernel_down(
     )
     y1 = jax.nn.relu(y1 + b1_ref[:][None, None, :])
     gr = i * s * tile_h - 1 + jax.lax.broadcasted_iota(
-        jnp.int32, (rows, width), 0
+        jnp.int32, y1.shape, 0
     )
     valid = (gr >= 0) & (gr < height)
-    y1 = jnp.where(valid[:, :, None], y1, 0.0).astype(cdt)
+    y1 = jnp.where(valid, y1, 0.0).astype(cdt)
     y1_ref[:, 0, :] = jnp.zeros_like(y1_ref[:, 0, :])
     y1_ref[:, width + 1, :] = jnp.zeros_like(y1_ref[:, width + 1, :])
     y1_ref[:, 1 : width + 1, :] = y1
@@ -288,10 +290,10 @@ def _conv3x3_kernel(
     """
     i = pl.program_id(1)
     gr = i * tile_h - 1 + jax.lax.broadcasted_iota(
-        jnp.int32, (tile_h + 2, width), 0
+        jnp.int32, x_ref.shape[1:], 0
     )
     valid = (gr >= 0) & (gr < height)
-    x = jnp.where(valid[:, :, None], x_ref[0], 0).astype(cdt)
+    x = jnp.where(valid, x_ref[0], 0).astype(cdt)
     xp_ref[:, 0, :] = jnp.zeros_like(xp_ref[:, 0, :])
     xp_ref[:, width + 1, :] = jnp.zeros_like(xp_ref[:, width + 1, :])
     xp_ref[:, 1 : width + 1, :] = x
@@ -371,15 +373,14 @@ def _maxpool_kernel(x_ref, o_ref, xp_ref, *, tile_h, width, height, cdt):
     """
     i = pl.program_id(1)
     neg = jnp.asarray(-jnp.inf, cdt)
-    rows = 2 * tile_h + 1
     gr = 2 * i * tile_h - 1 + jax.lax.broadcasted_iota(
-        jnp.int32, (rows, width), 0
+        jnp.int32, x_ref.shape[1:], 0
     )
     valid = (gr >= 0) & (gr < height)
     xp_ref[:, 0, :] = jnp.full_like(xp_ref[:, 0, :], neg)
     xp_ref[:, width + 1, :] = jnp.full_like(xp_ref[:, width + 1, :], neg)
     xp_ref[:, 1 : width + 1, :] = jnp.where(
-        valid[:, :, None], x_ref[0], neg
+        valid, x_ref[0], neg
     ).astype(cdt)
     out_w = width // 2
     acc = None
