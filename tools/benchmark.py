@@ -32,6 +32,9 @@ def parse_args():
                    help="override msda_sel_levels (0 = all levels)")
     p.add_argument("--msda-cap", type=int, default=None,
                    help="override msda_gather_capacity (0 = uncapped)")
+    p.add_argument("--msda-window", type=int, nargs=2, default=None,
+                   metavar=("H", "W"),
+                   help="override msda_patch_hw (windowed-MSDA window)")
     p.add_argument("--batch-size", type=int, default=1,
                    help="concurrent temporal streams per chip")
     p.add_argument("--frames", type=int, default=64,
@@ -78,6 +81,10 @@ def main():
         )
     if args.msda_sel is not None:
         head = dataclasses.replace(head, msda_sel_levels=args.msda_sel)
+    if args.msda_window is not None:
+        head = dataclasses.replace(
+            head, msda_patch_hw=tuple(args.msda_window)
+        )
     cfg = dataclasses.replace(cfg, head=head)
 
     fps = run_benchmark(cfg, window=args.frames, batch_size=args.batch_size)
@@ -89,6 +96,7 @@ def main():
                 "dfa_gather_capacity": cfg.head.dfa_gather_capacity,
                 "msda_gather_capacity": cfg.head.msda_gather_capacity,
                 "msda_sel_levels": cfg.head.msda_sel_levels,
+                "msda_patch_hw": list(cfg.head.msda_patch_hw),
                 "batch_size": args.batch_size,
                 "six_cam_fps_per_chip": round(fps, 2),
             }
