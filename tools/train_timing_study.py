@@ -7,6 +7,16 @@ for activation memory. On a 16G v5e chip the fast config may not need
 that trade — this study measures it. Methodology: distinct batches per
 step (training state changes each step so the tunnel cache cannot
 serve repeats), warm 2 steps, time the next N by fetching the loss.
+
+MEASURED (v5e, solo host): bs=4 remat-on 1.33 / remat-off 2.12 s/step;
+bs=2 1.42 / 1.45. Remat ON is strictly better: without it the bs=4
+activation footprint pressures HBM enough that XLA's schedule loses
+far more than the recompute costs. Keep `backbone_remat=True` (also
+reference parity). CAVEAT on absolute numbers: each host-loop step
+ships the batch through the axon tunnel (bs=4: ~52 MB of images), so
+these include ~0.9-1.0 s/step of transfer+dispatch the on-device
+pipeline does not pay — PERF.md's 0.42 s/step (device-resident data)
+is the real per-chip cost; use this study for A/B deltas only.
 """
 import dataclasses, json, os, sys, time
 
