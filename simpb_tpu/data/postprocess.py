@@ -88,15 +88,28 @@ def associate_2d(
     }
 
 
+# classes excluded from the nuScenes tracking benchmark; the reference
+# skips them when formatting a tracking submission
+# (nuscenes_dataset.py:524-529)
+NON_TRACKING_CLASSES = ("barrier", "traffic_cone", "construction_vehicle")
+
+
 def format_nuscenes_submission(
     results: List[Dict],
     sample_tokens: List[str],
     tracking: bool = False,
+    tracking_threshold: float = 0.2,
 ) -> Dict:
     """Fixed-shape decode outputs -> nuScenes submission dict
     (reference _format_bbox, nuscenes_dataset.py:504-586). `results` are
     per-sample dicts from decode_boxes3d (numpy), boxes in the lidar
-    frame already converted to global by the caller if needed."""
+    frame already converted to global by the caller if needed.
+
+    With `tracking=True`, emits the tracking-challenge schema instead
+    (tracking_name/score/id; no detection keys), applying the
+    reference's score threshold (0.2, nuscenes_dataset.py:90, 510-512)
+    and skipping the non-tracking classes (:524-529). `instance_ids`
+    must be present in each result."""
     annos = {}
     for res, token in zip(results, sample_tokens):
         boxes = np.asarray(res["boxes_3d"])
@@ -115,14 +128,19 @@ def format_nuscenes_submission(
                 "size": box[3:6].tolist(),
                 "rotation": quat,
                 "velocity": box[7:9].tolist(),
-                "detection_name": name,
-                "detection_score": float(scores[i]),
-                "attribute_name": attribute_for(name, box[7:9]),
             }
-            if tracking and "instance_ids" in res:
+            if tracking:
+                if name in NON_TRACKING_CLASSES:
+                    continue
+                if float(scores[i]) < tracking_threshold:
+                    continue
                 anno["tracking_id"] = str(int(res["instance_ids"][i]))
                 anno["tracking_name"] = name
                 anno["tracking_score"] = float(scores[i])
+            else:
+                anno["detection_name"] = name
+                anno["detection_score"] = float(scores[i])
+                anno["attribute_name"] = attribute_for(name, box[7:9])
             sample_annos.append(anno)
         annos[token] = sample_annos
     return {

@@ -76,13 +76,17 @@ def streaming_eval(
     show_dir: Optional[str] = None,
     show_threshold: float = 0.3,
     progress: bool = False,
+    tracking: bool = False,
 ) -> Tuple[Dict[str, float], List[dict], List[str]]:
     """Stream one shard of `dataset` through the model and score it.
 
     Returns (metrics, per-frame predictions in global frame, tokens).
     The temporal instance bank threads frame-to-frame exactly like
-    deployment streaming (reference tools/test.py:127-317).
-    """
+    deployment streaming (reference tools/test.py:127-317). With
+    `tracking=True` the decoder's persistent instance ids are scored
+    with the native AMOTA/AMOTP evaluator (data/tracking_eval.py) —
+    the reference formats a tracking submission but short-circuits the
+    tracking branch of evaluate() (nuscenes_dataset.py:717-718)."""
     from ..data.nuscenes_eval import evaluate_detections
     from ..data.postprocess import boxes_lidar_to_global
     from ..data.sampler import sequence_eval_shards
@@ -96,6 +100,8 @@ def streaming_eval(
     preds: List[dict] = []
     gts: List[dict] = []
     tokens: List[str] = []
+    scene_ids: List[int] = []
+    scene_no = 0
     vis_frames: List[np.ndarray] = []
     state = None
     prev_ts = prev_t_global = None
@@ -105,6 +111,10 @@ def streaming_eval(
         proj = jnp.asarray(sample["projection_mat"][None])
         ts = sample["timestamp"]
         t_global = sample["lidar2global"]
+        # scene boundary = the sequence_eval_shards timestamp-gap rule
+        if prev_ts is not None and ts - prev_ts > 4.0:
+            scene_no += 1
+        scene_ids.append(scene_no)
         if state is None:
             dec, state = cold_step(variables, img, proj)
         else:
@@ -122,14 +132,15 @@ def streaming_eval(
         # evaluate_detections needs the ego position (devkit measures
         # range as norm(box.translation - ego_pose.translation))
         ego_xy = sample["ego2global"][:2, 3].astype(np.float32)
-        preds.append(
-            {
-                "boxes": boxes_g[valid],
-                "scores": dec["scores_3d"][valid],
-                "labels": dec["labels_3d"][valid],
-                "ego_xy": ego_xy,
-            }
-        )
+        pred = {
+            "boxes": boxes_g[valid],
+            "scores": dec["scores_3d"][valid],
+            "labels": dec["labels_3d"][valid],
+            "ego_xy": ego_xy,
+        }
+        if "instance_ids" in dec:
+            pred["track_ids"] = dec["instance_ids"][valid]
+        preds.append(pred)
         tokens.append(dataset.data_infos[idx]["token"])
         gt = dataset.get_annotations(idx)
         gboxes = gt.get("gt_bboxes_3d", np.zeros((0, 9), np.float32))
@@ -139,9 +150,14 @@ def streaming_eval(
             g10 = boxes_lidar_to_global(g10, t_global)
         else:
             g10 = np.zeros((0, 10), np.float32)
-        gts.append(
-            {"boxes": g10, "labels": gt["gt_labels_3d"], "ego_xy": ego_xy}
-        )
+        gt_d = {
+            "boxes": g10,
+            "labels": gt["gt_labels_3d"],
+            "ego_xy": ego_xy,
+        }
+        if "gt_instance_id" in gt:
+            gt_d["track_ids"] = np.asarray(gt["gt_instance_id"])
+        gts.append(gt_d)
 
         if show_dir:
             from ..data.transforms import IMG_MEAN, IMG_STD
@@ -175,4 +191,17 @@ def streaming_eval(
         print(f"wrote {len(vis_frames)}-frame video to {show_dir}")
 
     metrics = evaluate_detections(preds, gts)
+    if tracking:
+        have_ids = all(
+            "track_ids" in p for p in preds
+        ) and all("track_ids" in g for g in gts)
+        if have_ids:
+            from ..data.tracking_eval import evaluate_tracking
+
+            metrics.update(evaluate_tracking(preds, gts, scene_ids))
+        else:
+            print(
+                "tracking metrics skipped: instance ids missing from "
+                "predictions or annotations"
+            )
     return metrics, preds, tokens

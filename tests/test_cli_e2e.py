@@ -138,13 +138,21 @@ def test_train_then_eval_cli(tmp_path):
             sys.executable, os.path.join(REPO, "tools", "test.py"),
             "--ann-file", pkl, "--config", "tiny",
             "--checkpoint", str(work / ckpts[0]),
-            "--max-frames", "3", "--fused-trunk",
+            "--max-frames", "3", "--fused-trunk", "--tracking",
+            "--out", str(tmp_path / "sub.json"),
             "--src-h", str(SRC_H), "--src-w", str(SRC_W),
         ],
         capture_output=True, text=True, env=env, timeout=1800,
     )
     assert test.returncode == 0, test.stderr[-3000:]
     assert '"mAP"' in test.stdout and '"NDS"' in test.stdout, test.stdout
+    # --tracking scores the decoder's persistent instance ids natively
+    assert '"AMOTA"' in test.stdout, test.stdout
+    with open(tmp_path / "sub.json") as f:
+        sub = json.load(f)
+    for annos in sub["results"].values():
+        for a in annos:
+            assert "tracking_id" in a and "detection_name" not in a
     metrics = json.loads(
         test.stdout[test.stdout.index("{") :].split("}")[0] + "}"
     )

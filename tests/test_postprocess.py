@@ -55,13 +55,33 @@ def test_submission_format():
         "valid": np.array([True]),
         "instance_ids": np.array([7]),
     }
-    sub = format_nuscenes_submission([res], ["tok0"], tracking=True)
+    sub = format_nuscenes_submission([res], ["tok0"])
     assert sub["meta"]["use_camera"]
     anno = sub["results"]["tok0"][0]
     assert anno["detection_name"] == "car"
     assert anno["attribute_name"] == "vehicle.moving"
-    assert anno["tracking_id"] == "7"
+    assert "tracking_id" not in anno
     np.testing.assert_allclose(anno["translation"], [1, 2, 0.5])
+
+    # tracking mode: tracking-challenge schema only (reference
+    # nuscenes_dataset.py:558-571), score threshold + class skip
+    sub_t = format_nuscenes_submission([res], ["tok0"], tracking=True)
+    anno_t = sub_t["results"]["tok0"][0]
+    assert anno_t["tracking_id"] == "7"
+    assert anno_t["tracking_name"] == "car"
+    assert "detection_name" not in anno_t
+
+    low = dict(res, scores_3d=np.array([0.1]))
+    assert not format_nuscenes_submission(
+        [low], ["tok0"], tracking=True
+    )["results"]["tok0"]
+    barrier = dict(res, labels_3d=np.array(
+        [__import__("simpb_tpu.configs.base", fromlist=["CLASS_NAMES"])
+         .CLASS_NAMES.index("barrier")]
+    ))
+    assert not format_nuscenes_submission(
+        [barrier], ["tok0"], tracking=True
+    )["results"]["tok0"]
 
 
 def test_render_frame_shapes():

@@ -143,6 +143,7 @@ def main():
         show_dir=args.show_dir,
         show_threshold=args.show_threshold,
         progress=True,
+        tracking=args.tracking,
     )
     # NaN marks classes absent from the eval split; emit null so the
     # output stays strict JSON
@@ -159,6 +160,11 @@ def main():
                     "boxes_3d": p["boxes"],
                     "scores_3d": p["scores"],
                     "labels_3d": p["labels"],
+                    **(
+                        {"instance_ids": p["track_ids"]}
+                        if "track_ids" in p
+                        else {}
+                    ),
                 }
                 for p in preds
             ],
