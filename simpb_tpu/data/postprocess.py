@@ -121,7 +121,10 @@ def format_nuscenes_submission(
             name = CLASS_NAMES[int(labels[i])]
             box = boxes[i]
             yaw = box[6]
-            quat = [np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)]
+            # pure-Python floats: np.float32 scalars are not JSON
+            # serializable (np.float64 is, which hid this until decode
+            # outputs went float32)
+            quat = [float(np.cos(yaw / 2)), 0.0, 0.0, float(np.sin(yaw / 2))]
             anno = {
                 "sample_token": token,
                 "translation": box[:3].tolist(),

@@ -1,4 +1,6 @@
 """Host postprocess + visualisation units."""
+import json
+
 import numpy as np
 import pytest
 
@@ -57,6 +59,9 @@ def test_submission_format():
     }
     sub = format_nuscenes_submission([res], ["tok0"])
     assert sub["meta"]["use_camera"]
+    # the submission must be strict JSON even from float32 decode
+    # outputs (np.float32 scalars are not JSON serializable)
+    json.dumps(sub)
     anno = sub["results"]["tok0"][0]
     assert anno["detection_name"] == "car"
     assert anno["attribute_name"] == "vehicle.moving"
