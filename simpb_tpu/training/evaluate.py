@@ -67,35 +67,21 @@ def _jitted_steps(model, cfg):
     return cold_step, stream_step
 
 
-def streaming_eval(
+def _stream_shard(
     model,
     cfg,
     variables,
     dataset,
-    max_frames: Optional[int] = None,
+    shard: List[int],
     show_dir: Optional[str] = None,
     show_threshold: float = 0.3,
     progress: bool = False,
-    tracking: bool = False,
-) -> Tuple[Dict[str, float], List[dict], List[str]]:
-    """Stream one shard of `dataset` through the model and score it.
-
-    Returns (metrics, per-frame predictions in global frame, tokens).
-    The temporal instance bank threads frame-to-frame exactly like
-    deployment streaming (reference tools/test.py:127-317). With
-    `tracking=True` the decoder's persistent instance ids are scored
-    with the native AMOTA/AMOTP evaluator (data/tracking_eval.py) —
-    the reference formats a tracking submission but short-circuits the
-    tracking branch of evaluate() (nuscenes_dataset.py:717-718)."""
-    from ..data.nuscenes_eval import evaluate_detections
+):
+    """Stream one sequence-aligned shard; returns
+    (preds, gts, scene_ids, tokens) with boxes in the global frame."""
     from ..data.postprocess import boxes_lidar_to_global
-    from ..data.sampler import sequence_eval_shards
 
     cold_step, stream_step = _jitted_steps(model, cfg)
-
-    shard = sequence_eval_shards(dataset, 1)[0]
-    if max_frames:
-        shard = shard[:max_frames]
 
     preds: List[dict] = []
     gts: List[dict] = []
@@ -190,6 +176,12 @@ def streaming_eval(
         )
         print(f"wrote {len(vis_frames)}-frame video to {show_dir}")
 
+    return preds, gts, scene_ids, tokens
+
+
+def _score(preds, gts, scene_ids, tracking: bool) -> Dict[str, float]:
+    from ..data.nuscenes_eval import evaluate_detections
+
     metrics = evaluate_detections(preds, gts)
     if tracking:
         have_ids = all(
@@ -204,4 +196,116 @@ def streaming_eval(
                 "tracking metrics skipped: instance ids missing from "
                 "predictions or annotations"
             )
-    return metrics, preds, tokens
+    return metrics
+
+
+def streaming_eval(
+    model,
+    cfg,
+    variables,
+    dataset,
+    max_frames: Optional[int] = None,
+    show_dir: Optional[str] = None,
+    show_threshold: float = 0.3,
+    progress: bool = False,
+    tracking: bool = False,
+    world_size: int = 1,
+    rank: int = 0,
+) -> Tuple[Dict[str, float], List[dict], List[str]]:
+    """Stream one shard of `dataset` through the model and score it.
+
+    Returns (metrics, per-frame predictions in global frame, tokens).
+    The temporal instance bank threads frame-to-frame exactly like
+    deployment streaming (reference tools/test.py:127-317). With
+    `tracking=True` the decoder's persistent instance ids are scored
+    with the native AMOTA/AMOTP evaluator (data/tracking_eval.py) —
+    the reference formats a tracking submission but short-circuits the
+    tracking branch of evaluate() (nuscenes_dataset.py:717-718).
+    `world_size`/`rank` select one sequence-aligned shard (metrics then
+    cover that shard only — use `distributed_streaming_eval` for the
+    gathered multi-process score)."""
+    from ..data.sampler import sequence_eval_shards
+
+    shard = sequence_eval_shards(dataset, world_size)[rank]
+    if max_frames:
+        shard = shard[:max_frames]
+    preds, gts, scene_ids, tokens = _stream_shard(
+        model, cfg, variables, dataset, shard,
+        show_dir=show_dir, show_threshold=show_threshold,
+        progress=progress,
+    )
+    return _score(preds, gts, scene_ids, tracking), preds, tokens
+
+
+def distributed_streaming_eval(
+    model,
+    cfg,
+    variables,
+    dataset,
+    tmpdir: str,
+    world_size: Optional[int] = None,
+    rank: Optional[int] = None,
+    max_frames: Optional[int] = None,
+    progress: bool = False,
+    tracking: bool = False,
+) -> Optional[Tuple[Dict[str, float], List[dict], List[str]]]:
+    """Multi-process eval with the reference's disk-gather protocol
+    (custom_multi_gpu_test, reference apis/test.py:49-167): each process
+    streams its sequence-aligned shard, pickles `part_{rank}.pkl` into
+    the shared `tmpdir`, and rank 0 concatenates RANK-ORDERED (not
+    interleaved — shards hold whole scenes, reference apis/test.py:155)
+    and scores the full set. Returns (metrics, preds, tokens) on rank 0,
+    None elsewhere. Defaults world_size/rank to the jax process grid;
+    pass them explicitly to drive shards manually (single-host tests)."""
+    import os
+    import pickle
+
+    if world_size is None:
+        world_size = jax.process_count()
+    if rank is None:
+        rank = jax.process_index()
+
+    from ..data.sampler import sequence_eval_shards
+
+    shard = sequence_eval_shards(dataset, world_size)[rank]
+    if max_frames:
+        shard = shard[:max_frames]
+    preds, gts, scene_ids, tokens = _stream_shard(
+        model, cfg, variables, dataset, shard, progress=progress
+    )
+    os.makedirs(tmpdir, exist_ok=True)
+    part = os.path.join(tmpdir, f"part_{rank}.pkl")
+    with open(part + ".tmp", "wb") as f:
+        pickle.dump(
+            {
+                "preds": preds,
+                "gts": gts,
+                # scene keys must stay distinct across ranks
+                "scene_ids": [(rank, s) for s in scene_ids],
+                "tokens": tokens,
+            },
+            f,
+        )
+    os.replace(part + ".tmp", part)  # atomic publish
+
+    if jax.process_count() > 1:
+        # barrier across hosts (reference dist.barrier, apis/test.py:144)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("simpb_eval_gather")
+    if rank != 0:
+        return None
+
+    all_preds: List[dict] = []
+    all_gts: List[dict] = []
+    all_scenes: List = []
+    all_tokens: List[str] = []
+    for r in range(world_size):
+        with open(os.path.join(tmpdir, f"part_{r}.pkl"), "rb") as f:
+            payload = pickle.load(f)
+        all_preds.extend(payload["preds"])
+        all_gts.extend(payload["gts"])
+        all_scenes.extend(payload["scene_ids"])
+        all_tokens.extend(payload["tokens"])
+    metrics = _score(all_preds, all_gts, all_scenes, tracking)
+    return metrics, all_preds, all_tokens

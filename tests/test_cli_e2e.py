@@ -18,7 +18,9 @@ REPO = os.path.join(os.path.dirname(__file__), "..")
 SRC_H, SRC_W = 60, 100
 
 
-def write_fake_dataset(tmp_path, n_frames=8):
+def write_fake_dataset(tmp_path, n_frames=8, gap_at=None):
+    """gap_at=k inserts a >4 s timestamp gap before frame k, splitting
+    the stream into two scenes (sequence_eval_shards boundary rule)."""
     rng = np.random.default_rng(0)
     img_dir = tmp_path / "imgs"
     img_dir.mkdir()
@@ -50,7 +52,11 @@ def write_fake_dataset(tmp_path, n_frames=8):
             dict(
                 token=f"tok{i}",
                 cams=cams,
-                timestamp=(1.5e9 + i * 0.5) * 1e6,
+                timestamp=(
+                    1.5e9
+                    + i * 0.5
+                    + (10.0 if gap_at is not None and i >= gap_at else 0.0)
+                ) * 1e6,
                 lidar_path=None,
                 sweeps=[] if i % 4 == 0 else [1],
                 lidar2ego_rotation=[1, 0, 0, 0],

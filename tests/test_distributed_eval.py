@@ -1,0 +1,86 @@
+"""Multi-process eval disk-gather protocol (reference
+custom_multi_gpu_test, apis/test.py:49-167): each rank streams a
+sequence-aligned shard, pickles part_{rank}.pkl, rank 0 merges
+rank-ordered and scores. Driven single-process here by invoking the
+ranks sequentially (rank 0 last — under real multi-host the barrier
+orders the merge)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests.test_cli_e2e import SRC_H, SRC_W, write_fake_dataset
+
+
+def _build(cfg, fh, fw):
+    from simpb_tpu.models.detector import SimPB
+
+    model = SimPB(cfg)
+    img0 = jnp.zeros((1, 6, fh, fw, 3), jnp.float32)
+    proj0 = jnp.tile(jnp.eye(4)[None, None], (1, 6, 1, 1))
+    variables = jax.jit(
+        lambda: model.init(
+            {
+                "params": jax.random.PRNGKey(0),
+                "aug": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2),
+                "sampling": jax.random.PRNGKey(3),
+            },
+            img0, proj0, train=False,
+        )
+    )()
+    return model, variables
+
+
+def test_distributed_gather_covers_all_frames(tmp_path):
+    from simpb_tpu.configs.base import simpb_tiny
+    from simpb_tpu.data.dataset import NuScenesDataset
+    from simpb_tpu.data.sampler import sequence_eval_shards
+    from simpb_tpu.training.evaluate import distributed_streaming_eval
+
+    pkl = write_fake_dataset(tmp_path, n_frames=8, gap_at=4)
+    cfg = simpb_tiny()
+    fw, fh = cfg.input_size
+    aug = {
+        "resize_lim": (0.4, 0.47),
+        "final_dim": (fh, fw),
+        "bot_pct_lim": (0.0, 0.0),
+        "rot_lim": (0, 0),
+        "H": SRC_H,
+        "W": SRC_W,
+        "rand_flip": False,
+        "rot3d_range": [0, 0],
+    }
+    dataset = NuScenesDataset(
+        pkl, test_mode=True, data_aug_conf=aug, sequences_split_num=1
+    )
+    shards = sequence_eval_shards(dataset, 2)
+    assert sorted(len(s) for s in shards) == [4, 4], (
+        "the timestamp gap must split two whole scenes across shards"
+    )
+
+    model, variables = _build(cfg, fh, fw)
+    gather = tmp_path / "gather"
+
+    # rank 1 first: single-process drive has no barrier, so rank 0's
+    # merge must find part_1.pkl already published
+    out1 = distributed_streaming_eval(
+        model, cfg, variables, dataset, str(gather),
+        world_size=2, rank=1, tracking=True,
+    )
+    assert out1 is None
+    assert (gather / "part_1.pkl").exists()
+
+    metrics, preds, tokens = distributed_streaming_eval(
+        model, cfg, variables, dataset, str(gather),
+        world_size=2, rank=0, tracking=True,
+    )
+    assert len(tokens) == 8 and len(set(tokens)) == 8
+    assert len(preds) == 8
+    # rank-ordered concat: rank 0's shard tokens lead
+    rank0_tokens = [dataset.data_infos[i]["token"] for i in shards[0]]
+    assert tokens[: len(rank0_tokens)] == rank0_tokens
+    assert "mAP" in metrics and "NDS" in metrics
+    assert "AMOTA" in metrics
+    assert np.isfinite(metrics["mAP"])

@@ -56,6 +56,11 @@ def parse_args():
     p.add_argument("--fused-trunk", action="store_true",
                    help="fused Pallas bottleneck trunk (inference-only, "
                         "BN-folded numerics; ops/conv_fused.py)")
+    p.add_argument("--gather-dir", default=None,
+                   help="shared dir for the multi-process disk-gather "
+                        "eval (reference custom_multi_gpu_test tmpdir, "
+                        "apis/test.py:122-167); required when "
+                        "jax.process_count() > 1")
     return p.parse_args()
 
 
@@ -134,17 +139,39 @@ def main():
         variables["params"] = loaded["params"]
         variables["batch_stats"] = loaded["batch_stats"]
 
-    metrics, preds, tokens = streaming_eval(
-        model,
-        cfg,
-        variables,
-        dataset,
-        max_frames=args.max_frames,
-        show_dir=args.show_dir,
-        show_threshold=args.show_threshold,
-        progress=True,
-        tracking=args.tracking,
-    )
+    if jax.process_count() > 1:
+        from simpb_tpu.training.evaluate import distributed_streaming_eval
+
+        if not args.gather_dir:
+            raise SystemExit(
+                "--gather-dir (a shared filesystem path) is required "
+                "for multi-process eval"
+            )
+        result = distributed_streaming_eval(
+            model,
+            cfg,
+            variables,
+            dataset,
+            args.gather_dir,
+            max_frames=args.max_frames,
+            progress=True,
+            tracking=args.tracking,
+        )
+        if result is None:
+            return  # non-zero rank: shard written, rank 0 reports
+        metrics, preds, tokens = result
+    else:
+        metrics, preds, tokens = streaming_eval(
+            model,
+            cfg,
+            variables,
+            dataset,
+            max_frames=args.max_frames,
+            show_dir=args.show_dir,
+            show_threshold=args.show_threshold,
+            progress=True,
+            tracking=args.tracking,
+        )
     # NaN marks classes absent from the eval split; emit null so the
     # output stays strict JSON
     print(json.dumps(
