@@ -61,11 +61,23 @@ def parse_args():
                         "eval (reference custom_multi_gpu_test tmpdir, "
                         "apis/test.py:122-167); required when "
                         "jax.process_count() > 1")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize before device "
+                        "use (the reference's dist launcher equivalent)")
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.multihost:
+        from simpb_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost(
+            args.coordinator, args.num_processes, args.process_id
+        )
     from simpb_tpu.configs.base import (
         simpb_r101_1408x512,
         simpb_r50_704x256,

@@ -63,11 +63,27 @@ def parse_args():
                         " equivalent)")
     p.add_argument("--eval-interval", type=int, default=20000)
     p.add_argument("--eval-frames", type=int, default=500)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize before device "
+                        "use (replaces the reference's pytorch/slurm/mpi "
+                        "launcher matrix, tools/train.py:181-219); TPU "
+                        "pod runtimes autodetect coordinator/rank")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address for --multihost when the "
+                        "runtime cannot autodetect (host:port)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.multihost:
+        from simpb_tpu.parallel.mesh import initialize_multihost
+
+        initialize_multihost(
+            args.coordinator, args.num_processes, args.process_id
+        )
     from simpb_tpu.configs.base import (
         TrainConfig,
         simpb_r101_1408x512,
