@@ -237,6 +237,171 @@ def streaming_eval(
     return _score(preds, gts, scene_ids, tracking), preds, tokens
 
 
+def multidevice_streaming_eval(
+    model,
+    cfg,
+    variables,
+    dataset,
+    max_frames: Optional[int] = None,
+    progress: bool = False,
+    tracking: bool = False,
+    devices=None,
+) -> Tuple[Dict[str, float], List[dict], List[str]]:
+    """Single-process multi-device eval: each local device streams its
+    own sequence-aligned shard as one slot of the batch axis, sharded
+    over a 1-D data mesh. This is the JAX-native counterpart of the
+    reference's 8-process x 1-GPU `dist_test.sh` eval (apis/test.py:
+    49-167) — one process drives all chips, no disk gather needed.
+    Per-device work stays a single stream (multi-stream batching on ONE
+    chip is a measured dead end — PERF.md), so wall time scales ~1/N.
+
+    Each shard starts with a cold instance bank — the same semantics as
+    one rank of the reference's dist_test.sh (and of
+    `distributed_streaming_eval`). Scene boundaries INSIDE a shard go
+    through the per-sample |dt| > max_time_interval mask
+    (models/instance_bank.py:109), exactly as in bs=1 streaming; padded
+    tail frames (shards differ in length) re-feed the last frame and
+    their predictions are dropped. Per-frame outputs are verified
+    identical to streaming each shard sequentially at bs=1
+    (tests/test_distributed_eval.py). Returns the same (metrics, preds,
+    tokens) contract as `streaming_eval`, frames ordered shard-major."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..data.postprocess import boxes_lidar_to_global
+    from ..data.sampler import sequence_eval_shards
+
+    if devices is None:
+        devices = jax.local_devices()
+    n = len(devices)
+    if n == 1:
+        return streaming_eval(
+            model, cfg, variables, dataset, max_frames=max_frames,
+            progress=progress, tracking=tracking,
+        )
+
+    shards = sequence_eval_shards(dataset, n)
+    n_eff = sum(1 for s in shards if s)
+    if n_eff < n:
+        # fewer scenes than devices: shrink the mesh so no shard is
+        # empty (a zero-length stream has no valid temporal state)
+        devices = devices[:n_eff]
+        n = n_eff
+        shards = sequence_eval_shards(dataset, n)
+        if n == 1:
+            return streaming_eval(
+                model, cfg, variables, dataset, max_frames=max_frames,
+                progress=progress, tracking=tracking,
+            )
+    if max_frames:
+        shards = [s[:max_frames] for s in shards]
+    length = max(len(s) for s in shards)
+
+    mesh = Mesh(np.asarray(devices), ("data",))
+    batch_sh = NamedSharding(mesh, P("data"))
+    repl_sh = NamedSharding(mesh, P())
+    variables = jax.device_put(variables, repl_sh)
+    cold_step, stream_step = _jitted_steps(model, cfg)
+
+    preds: List[dict] = []
+    gts: List[dict] = []
+    tokens: List[str] = []
+    scene_keys: List[Tuple[int, int]] = []
+    # per-slot host state
+    prev_ts = [None] * n
+    prev_tg = [None] * n
+    scene_no = [0] * n
+    # shard-major result buffers so the output ordering matches the
+    # rank-ordered merge of the per-process protocol
+    per_shard: List[List[Tuple[dict, dict, Tuple[int, int], str]]] = [
+        [] for _ in range(n)
+    ]
+    state = None
+    for t in range(length):
+        samples = []
+        for s in range(n):
+            idx = shards[s][min(t, len(shards[s]) - 1)]
+            samples.append(dataset.get_sample(idx, with_points=False))
+        img = jax.device_put(
+            np.stack([sm["img"] for sm in samples]), batch_sh
+        )
+        proj = jax.device_put(
+            np.stack(
+                [sm["projection_mat"] for sm in samples]
+            ).astype(np.float32),
+            batch_sh,
+        )
+        if state is None:
+            dec, state = cold_step(variables, img, proj)
+        else:
+            dt = np.zeros((n,), np.float32)
+            t2c = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+            for s in range(n):
+                dt[s] = samples[s]["timestamp"] - prev_ts[s]
+                t2c[s] = (
+                    np.linalg.inv(samples[s]["lidar2global"])
+                    @ prev_tg[s]
+                ).astype(np.float32)
+            dec, state = stream_step(
+                variables, img, proj, state,
+                jax.device_put(dt, batch_sh),
+                jax.device_put(t2c, batch_sh),
+            )
+        dec = {k: np.asarray(v) for k, v in dec.items()}
+
+        for s in range(n):
+            live = t < len(shards[s])
+            sm = samples[s]
+            ts = sm["timestamp"]
+            if live:
+                if prev_ts[s] is not None and ts - prev_ts[s] > 4.0:
+                    scene_no[s] += 1
+            prev_ts[s], prev_tg[s] = ts, sm["lidar2global"]
+            if not live:
+                continue
+            idx = shards[s][t]
+            t_global = sm["lidar2global"]
+            boxes_g = boxes_lidar_to_global(dec["boxes_3d"][s], t_global)
+            valid = dec["valid"][s]
+            ego_xy = sm["ego2global"][:2, 3].astype(np.float32)
+            pred = {
+                "boxes": boxes_g[valid],
+                "scores": dec["scores_3d"][s][valid],
+                "labels": dec["labels_3d"][s][valid],
+                "ego_xy": ego_xy,
+            }
+            if "instance_ids" in dec:
+                pred["track_ids"] = dec["instance_ids"][s][valid]
+            gt = dataset.get_annotations(idx)
+            gboxes = gt.get("gt_bboxes_3d", np.zeros((0, 9), np.float32))
+            if len(gboxes):
+                g10 = np.zeros((len(gboxes), 10), np.float32)
+                g10[:, : gboxes.shape[1]] = gboxes
+                g10 = boxes_lidar_to_global(g10, t_global)
+            else:
+                g10 = np.zeros((0, 10), np.float32)
+            gt_d = {
+                "boxes": g10,
+                "labels": gt["gt_labels_3d"],
+                "ego_xy": ego_xy,
+            }
+            if "gt_instance_id" in gt:
+                gt_d["track_ids"] = np.asarray(gt["gt_instance_id"])
+            per_shard[s].append(
+                (pred, gt_d, (s, scene_no[s]),
+                 dataset.data_infos[idx]["token"])
+            )
+        if progress and (t + 1) % 100 == 0:
+            print(f"{t + 1}/{length} frames x {n} devices", flush=True)
+
+    for s in range(n):
+        for pred, gt_d, key, token in per_shard[s]:
+            preds.append(pred)
+            gts.append(gt_d)
+            scene_keys.append(key)
+            tokens.append(token)
+    return _score(preds, gts, scene_keys, tracking), preds, tokens
+
+
 def distributed_streaming_eval(
     model,
     cfg,

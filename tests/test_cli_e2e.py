@@ -113,6 +113,10 @@ def test_train_multidevice_with_inprocess_eval(tmp_path):
     assert train.returncode == 0, train.stderr[-3000:]
     assert "loss" in train.stdout
     assert "eval @ iter 2" in train.stdout, train.stdout[-2000:]
+    # first eval must establish a best checkpoint (CustomDistEvalHook
+    # save_best parity) unless the key score was NaN on the tiny split
+    if "new best NDS" in train.stdout:
+        assert (work / "ckpt_best").exists()
 
 
 def test_train_then_eval_cli(tmp_path):

@@ -84,3 +84,71 @@ def test_distributed_gather_covers_all_frames(tmp_path):
     assert "mAP" in metrics and "NDS" in metrics
     assert "AMOTA" in metrics
     assert np.isfinite(metrics["mAP"])
+
+
+def test_multidevice_eval_matches_single(tmp_path):
+    """Single-process multi-device eval (one sequence shard per device
+    on the data mesh) must reproduce the PER-SHARD bs=1 streaming
+    results: same token coverage, same per-frame detections. The
+    comparison arm streams each shard separately (world_size=2), which
+    is the multi-process disk-gather protocol's semantics: every shard
+    starts with a cold instance bank, exactly like each rank of the
+    reference's dist_test.sh. (A single continuous stream differs at
+    interior scene boundaries by design — the reference's InstanceBank
+    keeps serving stale cached features through a broken-stream mask,
+    instance_bank.py:79-119, so masked reset != cold start there too.)
+    The fp32 CPU mesh makes the batched and sequential computations
+    numerically identical up to reduction order."""
+    from simpb_tpu.configs.base import simpb_tiny
+    from simpb_tpu.data.dataset import NuScenesDataset
+    from simpb_tpu.training.evaluate import (
+        multidevice_streaming_eval,
+        streaming_eval,
+    )
+
+    pkl = write_fake_dataset(tmp_path, n_frames=8, gap_at=4)
+    cfg = simpb_tiny()
+    fw, fh = cfg.input_size
+    aug = {
+        "resize_lim": (0.4, 0.47),
+        "final_dim": (fh, fw),
+        "bot_pct_lim": (0.0, 0.0),
+        "rot_lim": (0, 0),
+        "H": SRC_H,
+        "W": SRC_W,
+        "rand_flip": False,
+        "rot3d_range": [0, 0],
+    }
+    dataset = NuScenesDataset(
+        pkl, test_mode=True, data_aug_conf=aug, sequences_split_num=1
+    )
+    model, variables = _build(cfg, fh, fw)
+
+    m_multi, p_multi, tok_multi = multidevice_streaming_eval(
+        model, cfg, variables, dataset, devices=jax.devices()[:2],
+    )
+    p_seq, tok_seq = [], []
+    for rank in range(2):
+        _, p_r, tok_r = streaming_eval(
+            model, cfg, variables, dataset, world_size=2, rank=rank
+        )
+        p_seq.extend(p_r)
+        tok_seq.extend(tok_r)
+    assert len(tok_multi) == 8 and set(tok_multi) == set(tok_seq)
+    # shard-major output ordering matches the rank-ordered merge
+    assert tok_multi == tok_seq
+
+    by_token_multi = dict(zip(tok_multi, p_multi))
+    by_token_seq = dict(zip(tok_seq, p_seq))
+    for tok in tok_seq:
+        a, b = by_token_multi[tok], by_token_seq[tok]
+        assert a["boxes"].shape == b["boxes"].shape
+        np.testing.assert_allclose(
+            a["boxes"], b["boxes"], rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            a["scores"], b["scores"], rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+    assert "mAP" in m_multi and "NDS" in m_multi
+    assert np.isfinite(m_multi["mAP"])

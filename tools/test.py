@@ -172,6 +172,21 @@ def main():
         if result is None:
             return  # non-zero rank: shard written, rank 0 reports
         metrics, preds, tokens = result
+    elif jax.local_device_count() > 1 and not args.show_dir:
+        # single process, several chips: stream one sequence shard per
+        # device over a 1-D data mesh (JAX-native replacement for the
+        # reference's 8-process dist_test.sh; ~1/N wall time)
+        from simpb_tpu.training.evaluate import multidevice_streaming_eval
+
+        metrics, preds, tokens = multidevice_streaming_eval(
+            model,
+            cfg,
+            variables,
+            dataset,
+            max_frames=args.max_frames,
+            progress=True,
+            tracking=args.tracking,
+        )
     else:
         metrics, preds, tokens = streaming_eval(
             model,

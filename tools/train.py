@@ -62,7 +62,10 @@ def parse_args():
                    help="val pkl: run mid-training eval (CustomDistEvalHook"
                         " equivalent)")
     p.add_argument("--eval-interval", type=int, default=20000)
-    p.add_argument("--eval-frames", type=int, default=500)
+    p.add_argument("--eval-frames", type=int, default=500,
+                   help="cap on mid-training eval frames (per device "
+                        "shard when several local devices stream in "
+                        "parallel)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize before device "
                         "use (replaces the reference's pytorch/slurm/mpi "
@@ -260,7 +263,7 @@ def main():
         live params: a subprocess would contend with the trainer for
         the single TPU chip and deadlock (CLAUDE.md)."""
         nonlocal eval_dataset
-        from simpb_tpu.training.evaluate import streaming_eval
+        from simpb_tpu.training.evaluate import multidevice_streaming_eval
 
         if eval_dataset is None:
             eval_conf = dict(aug_conf, rand_flip=False, rot3d_range=[0, 0])
@@ -275,8 +278,12 @@ def main():
             "params": cur_state.params,
             "batch_stats": cur_state.batch_stats,
         }
-        metrics, _, _ = streaming_eval(
-            model, cfg, eval_vars, eval_dataset, max_frames=args.eval_frames
+        # one sequence shard per local device (falls back to the bs=1
+        # stream on a single chip); ~1/N eval wall time mid-training
+        metrics, _, _ = multidevice_streaming_eval(
+            model, cfg, eval_vars, eval_dataset,
+            max_frames=args.eval_frames,
+            devices=jax.local_devices(),
         )
         print(f"eval @ iter {step_no}: {metrics}", flush=True)
         if tb_writer is not None:
@@ -364,6 +371,7 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
     trained_pose = list(prev_pose)
+    best_score = None
     for i in range(start_iter, max_iters):
         item = prefetch.get()
         if item is None:
@@ -398,7 +406,25 @@ def main():
             )
             print(f"saved {path}", flush=True)
         if args.eval_ann_file and (i + 1) % args.eval_interval == 0:
-            run_eval(i + 1, state)
+            em = run_eval(i + 1, state)
+            # best-checkpoint save on the key score (reference
+            # CustomDistEvalHook save_best, eval_hooks.py:73-97; NDS is
+            # the reference's key_score for nuScenes)
+            score = em.get("NDS")
+            if score == score and (
+                best_score is None or score > best_score
+            ):
+                best_score = score
+                best = os.path.abspath(
+                    os.path.join(args.work_dir, "ckpt_best")
+                )
+                save_checkpoint(
+                    best, state, temporal, dn_state, trained_pose
+                )
+                print(
+                    f"new best NDS {score:.4f} @ iter {i + 1} -> {best}",
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":
