@@ -46,22 +46,46 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put_batch_array(v, sharding: NamedSharding):
+    """Place one host batch array on the mesh.
+
+    Single process: the host value IS the global value — plain
+    device_put. Multi-process: each process's host pipeline produces
+    only its LOCAL rows of the global batch (the sampler yields
+    bs_local items per rank), so the global array must be assembled
+    from per-process shards (the JAX-native equivalent of the
+    reference's per-rank DataLoader under DDP, apis/mmdet_train.py:
+    93-135)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(v)
+        )
+    return jax.device_put(v, sharding)
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Put a host batch dict onto the mesh with batch-axis sharding.
 
     `gt_depth` lists are sharded per level; everything else shards on
     axis 0 (+ camera axis for image-like arrays on 2-D meshes).
+    Multi-process: each process contributes its local rows (see
+    `_put_batch_array`); camera-axis sharding is an intra-host layout
+    and is not combined with multi-process feeding.
     """
     data_sh = batch_sharding(mesh)
     data_only = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1 and "cam" in mesh.axis_names:
+        raise NotImplementedError(
+            "camera-axis sharding is single-process (intra-host) only"
+        )
     out = {}
     for k, v in batch.items():
         if isinstance(v, list):
-            out[k] = [jax.device_put(x, data_only) for x in v]
+            out[k] = [_put_batch_array(x, data_only) for x in v]
         elif hasattr(v, "ndim") and v.ndim >= 2 and "cam" in mesh.axis_names:
             out[k] = jax.device_put(v, data_sh)
         else:
-            out[k] = jax.device_put(v, data_only)
+            out[k] = _put_batch_array(v, data_only)
     return out
 
 

@@ -40,6 +40,28 @@ def _unpack_prev_pose(packed: Dict[str, np.ndarray]) -> List:
     return out
 
 
+def gather_stream_state(temporal, dn_state, prev_pose: Optional[List]):
+    """Collect the full global streaming state onto every host.
+
+    Single process: identity. Multi-process: `temporal`/`dn_state` are
+    data-sharded over the global mesh (not host-addressable), and each
+    host's `prev_pose` covers only its local sampler slots — allgather
+    both so rank 0 can write one checkpoint holding the whole stream
+    (the reference saves per-rank nothing at all here; its temporal
+    stream restarts cold on resume, SURVEY §5). Every process must call
+    this (it contains collectives). Returns host values
+    (temporal, dn_state, prev_pose-list of bs_global slots)."""
+    if jax.process_count() == 1:
+        return temporal, dn_state, prev_pose
+    from jax.experimental import multihost_utils
+
+    temporal = multihost_utils.process_allgather(temporal, tiled=True)
+    dn_state = multihost_utils.process_allgather(dn_state, tiled=True)
+    packed = _pack_prev_pose(prev_pose)
+    gathered = multihost_utils.process_allgather(packed, tiled=True)
+    return temporal, dn_state, _unpack_prev_pose(gathered)
+
+
 def save_checkpoint(
     path: str,
     state,

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Host data-pipeline throughput: can the CPU side feed the chip?
+
+The on-chip flagship streams at ~77 six-cam fps (bench.py, PERF.md);
+serving is only as fast as the host can decode + preprocess six
+1600x900 camera JPEGs per frame. This study measures the per-core host
+cost of the EVAL pipeline (`NuScenesDataset.get_sample` on test_mode:
+JPEG decode -> fused native resize+crop+normalise -> static padding),
+the same work the prefetch thread does per frame in tools/test.py.
+The reference pays the equivalent cost in its forked torch DataLoader
+workers (builder.py:21-131) — per-worker throughput is the
+apples-to-apples number.
+
+Usage: python tools/host_pipeline_study.py [--frames 40] [--pil]
+Prints per-stage ms/frame and the cores needed to sustain the chip.
+"""
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+SRC_H, SRC_W = 900, 1600
+CHIP_FPS = 76.9  # PERF.md flagship
+
+
+def make_dataset(tmp, n_frames, use_native, jpeg=True):
+    import pickle
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    # a few distinct images re-referenced across frames: decode cost is
+    # content-independent, and this keeps setup time short
+    paths = []
+    for c in range(6):
+        ext = "jpg" if jpeg else "png"
+        p = os.path.join(tmp, f"cam{c}.{ext}")
+        Image.fromarray(
+            rng.integers(0, 255, (SRC_H, SRC_W, 3)).astype(np.uint8)
+        ).save(p, quality=90) if jpeg else Image.fromarray(
+            rng.integers(0, 255, (SRC_H, SRC_W, 3)).astype(np.uint8)
+        ).save(p)
+        paths.append(p)
+    infos = []
+    for i in range(n_frames):
+        cams = {
+            f"CAM{c}": dict(
+                data_path=paths[c],
+                sensor2lidar_rotation=np.eye(3),
+                sensor2lidar_translation=np.zeros(3),
+                cam_intrinsic=np.array(
+                    [[1266.0, 0, SRC_W / 2], [0, 1266.0, SRC_H / 2],
+                     [0, 0, 1]]
+                ),
+            )
+            for c in range(6)
+        }
+        g = 16
+        boxes = np.zeros((g, 7))
+        boxes[:, :2] = rng.uniform(-40, 40, (g, 2))
+        boxes[:, 3:6] = rng.uniform(1, 4, (g, 3))
+        infos.append(
+            dict(
+                token=f"t{i}", cams=cams, timestamp=(1.5e9 + i * 0.5) * 1e6,
+                lidar_path=None, sweeps=[],
+                lidar2ego_rotation=[1, 0, 0, 0],
+                lidar2ego_translation=[0, 0, 0],
+                ego2global_rotation=[1, 0, 0, 0],
+                ego2global_translation=[i * 2.0, 0, 0],
+                gt_boxes=boxes,
+                gt_names=np.array(["car"] * g),
+                gt_velocity=rng.uniform(-1, 1, (g, 2)),
+                num_lidar_pts=np.full(g, 5),
+                valid_flag=np.ones(g, bool),
+                instance_inds=np.arange(g),
+                bboxes2d=[np.zeros((0, 4), np.float32)] * 6,
+                labels2d=[np.zeros((0,), np.int64)] * 6,
+                centers2d=[np.zeros((0, 2), np.float32)] * 6,
+                depths=[np.zeros((0,), np.float32)] * 6,
+                gt_2d_3d_map=[np.zeros((0,), np.int64)] * 6,
+            )
+        )
+    pkl = os.path.join(tmp, "infos.pkl")
+    import pickle
+
+    with open(pkl, "wb") as f:
+        pickle.dump({"infos": infos, "metadata": {"version": "s"}}, f)
+
+    from simpb_tpu.data.dataset import NuScenesDataset
+
+    aug = {
+        "resize_lim": (0.40, 0.47), "final_dim": (256, 704),
+        "bot_pct_lim": (0.0, 0.0), "rot_lim": (0, 0),
+        "H": SRC_H, "W": SRC_W, "rand_flip": False, "rot3d_range": [0, 0],
+    }
+    return NuScenesDataset(
+        pkl, test_mode=True, data_aug_conf=aug, sequences_split_num=1,
+        use_native=use_native,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--pil", action="store_true",
+                    help="time the PIL parity path instead of native")
+    args = ap.parse_args()
+
+    with tempfile.TemporaryDirectory() as tmp:
+        ds = make_dataset(tmp, args.frames, use_native=not args.pil)
+
+        # decode-only baseline (PIL JPEG decode of 6 cams)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            ds.load_images([ds.data_infos[0]["cams"][f"CAM{c}"]["data_path"]
+                            for c in range(6)])
+        decode_ms = (time.perf_counter() - t0) / 10 * 1e3
+
+        ds.get_sample(0, with_points=False)  # warm (native lib build)
+        t0 = time.perf_counter()
+        for i in range(args.frames):
+            ds.get_sample(i, with_points=False)
+        total_ms = (time.perf_counter() - t0) / args.frames * 1e3
+
+        path = "PIL(parity)" if args.pil else "native(C++)"
+        fps = 1e3 / total_ms
+        print(f"path={path}")
+        print(f"  JPEG decode (6 cams):     {decode_ms:7.1f} ms/frame")
+        print(f"  full get_sample:          {total_ms:7.1f} ms/frame "
+              f"({fps:.1f} fps/core)")
+        print(f"  cores to sustain {CHIP_FPS} on-chip fps: "
+              f"{CHIP_FPS / fps:.1f}")
+
+
+if __name__ == "__main__":
+    main()

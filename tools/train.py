@@ -142,6 +142,9 @@ def main():
     # training feeds bs_global from one sampler (round-1 mismatch:
     # VERDICT weak #3).
     n_dev = jax.device_count()
+    n_proc = jax.process_count()
+    rank = jax.process_index()
+    is_main = rank == 0
     bs_local = args.batch_size * jax.local_device_count()
     bs_global = args.batch_size * n_dev
     sampler = GroupStreamSampler(
@@ -204,6 +207,7 @@ def main():
         )
 
     from simpb_tpu.training.checkpoint import (
+        gather_stream_state,
         restore_checkpoint,
         save_checkpoint,
     )
@@ -220,7 +224,15 @@ def main():
         state, temporal, dn_state, resumed_prev_pose, start_iter = (
             restore_checkpoint(args.resume_from, state, temporal, dn_state)
         )
-        print(f"resumed from {args.resume_from} at iter {start_iter}")
+        if resumed_prev_pose and n_proc > 1:
+            # the checkpoint holds all bs_global slots in rank order —
+            # keep this process's contiguous slice (matches the
+            # sampler's rank->global-slot mapping, data/sampler.py)
+            resumed_prev_pose = resumed_prev_pose[
+                rank * bs_local : (rank + 1) * bs_local
+            ]
+        if is_main:
+            print(f"resumed from {args.resume_from} at iter {start_iter}")
 
     from simpb_tpu.parallel.mesh import (
         batch_sharding,
@@ -232,6 +244,14 @@ def main():
     mesh = make_mesh()
     data_sh = batch_sharding(mesh)
     repl = replicated(mesh)
+    if n_proc > 1:
+        # host values transfer to global (cross-process) shardings;
+        # process-committed jax.Arrays do not — every process holds the
+        # same full value (deterministic init / checkpoint restore), so
+        # device_put slices each host's addressable shards from it
+        state = jax.tree.map(np.asarray, state)
+        temporal = jax.tree.map(np.asarray, temporal)
+        dn_state = jax.tree.map(np.asarray, dn_state)
     state = jax.device_put(state, repl)
     temporal = jax.device_put(temporal, data_sh)
     dn_state = jax.device_put(dn_state, data_sh)
@@ -245,7 +265,7 @@ def main():
     # TensorboardLoggerHook, config:15-21); loss keys match the
     # reference's naming (loss_cls3d_{i}, loss_box3d_{i}, ...)
     tb_writer = None
-    if not os.environ.get("SIMPB_NO_TB"):
+    if is_main and not os.environ.get("SIMPB_NO_TB"):
         try:
             from flax.metrics import tensorboard as flax_tb
 
@@ -261,9 +281,15 @@ def main():
         """Mid-training eval (reference CustomDistEvalHook,
         core/evaluation/eval_hooks.py:30-97). Runs IN-PROCESS on the
         live params: a subprocess would contend with the trainer for
-        the single TPU chip and deadlock (CLAUDE.md)."""
+        the single TPU chip and deadlock (CLAUDE.md). Multi-process
+        runs use the disk-gather protocol over the (shared) work dir —
+        returns the full-set metrics on rank 0, NaN-score dict
+        elsewhere; every process must call this (it synchronises)."""
         nonlocal eval_dataset
-        from simpb_tpu.training.evaluate import multidevice_streaming_eval
+        from simpb_tpu.training.evaluate import (
+            distributed_streaming_eval,
+            multidevice_streaming_eval,
+        )
 
         if eval_dataset is None:
             eval_conf = dict(aug_conf, rand_flip=False, rot3d_range=[0, 0])
@@ -278,13 +304,26 @@ def main():
             "params": cur_state.params,
             "batch_stats": cur_state.batch_stats,
         }
-        # one sequence shard per local device (falls back to the bs=1
-        # stream on a single chip); ~1/N eval wall time mid-training
-        metrics, _, _ = multidevice_streaming_eval(
-            model, cfg, eval_vars, eval_dataset,
-            max_frames=args.eval_frames,
-            devices=jax.local_devices(),
-        )
+        if n_proc > 1:
+            # params are replicated: make them host-local for the eval
+            # jit (which runs on a per-process local mesh)
+            eval_vars = jax.tree.map(np.asarray, eval_vars)
+            result = distributed_streaming_eval(
+                model, cfg, eval_vars, eval_dataset,
+                os.path.join(args.work_dir, f"eval_gather_{step_no}"),
+                max_frames=args.eval_frames,
+            )
+            if result is None:
+                return {}
+            metrics = result[0]
+        else:
+            # one sequence shard per local device (falls back to the
+            # bs=1 stream on a single chip); ~1/N eval wall time
+            metrics, _, _ = multidevice_streaming_eval(
+                model, cfg, eval_vars, eval_dataset,
+                max_frames=args.eval_frames,
+                devices=jax.local_devices(),
+            )
         print(f"eval @ iter {step_no}: {metrics}", flush=True)
         if tb_writer is not None:
             for k, v in metrics.items():
@@ -382,48 +421,68 @@ def main():
             state, batch, temporal, dn_state, key
         )
         if (i + 1) % args.log_interval == 0:
-            loss = float(metrics["loss"])
+            loss = float(metrics["loss"])  # replicated scalar: any rank
             dt = time.time() - t0
-            print(
-                f"iter {i + 1}/{max_iters} loss {loss:.4f} "
-                f"({dt / args.log_interval:.2f}s/iter)",
-                flush=True,
-            )
+            if is_main:
+                print(
+                    f"iter {i + 1}/{max_iters} loss {loss:.4f} "
+                    f"({dt / args.log_interval:.2f}s/iter)",
+                    flush=True,
+                )
             if tb_writer is not None:
                 for k, v in metrics.items():
                     tb_writer.scalar(k, float(v), i + 1)
                 tb_writer.flush()
             t0 = time.time()
-        if (i + 1) % args.ckpt_interval == 0 or i + 1 == max_iters:
-            path = os.path.abspath(
-                os.path.join(args.work_dir, f"ckpt_{i + 1}")
+
+        def save_ckpt(path):
+            """Every process must enter BOTH collectives here: the
+            stream-state allgather AND the orbax save (orbax
+            synchronises hosts internally — 'Checkpointer:save_start'
+            barriers — and writes array data from the primary host
+            only; gating save to rank 0 deadlocks/mismatches the
+            barrier, found by tests/test_multiprocess.py)."""
+            t_host, d_host, pose_host = gather_stream_state(
+                temporal, dn_state, trained_pose
             )
+            save_checkpoint(path, state, t_host, d_host, pose_host)
+            if is_main:
+                print(f"saved {path}", flush=True)
+
+        if (i + 1) % args.ckpt_interval == 0 or i + 1 == max_iters:
             # full resume state: optimizer moments + the streaming
             # temporal/DN state (beyond the reference, which restarts
             # the stream cold on resume — SURVEY §5)
-            save_checkpoint(
-                path, state, temporal, dn_state, trained_pose
+            save_ckpt(
+                os.path.abspath(os.path.join(args.work_dir, f"ckpt_{i + 1}"))
             )
-            print(f"saved {path}", flush=True)
         if args.eval_ann_file and (i + 1) % args.eval_interval == 0:
             em = run_eval(i + 1, state)
             # best-checkpoint save on the key score (reference
             # CustomDistEvalHook save_best, eval_hooks.py:73-97; NDS is
             # the reference's key_score for nuScenes)
-            score = em.get("NDS")
+            score = em.get("NDS", float("nan"))
+            if n_proc > 1:
+                # only rank 0 scored the gathered set: share the verdict
+                # so every process joins the save collectives
+                from jax.experimental import multihost_utils
+
+                score = float(
+                    multihost_utils.broadcast_one_to_all(
+                        np.float32(score if score == score else np.nan)
+                    )
+                )
             if score == score and (
                 best_score is None or score > best_score
             ):
                 best_score = score
-                best = os.path.abspath(
-                    os.path.join(args.work_dir, "ckpt_best")
-                )
-                save_checkpoint(
-                    best, state, temporal, dn_state, trained_pose
-                )
-                print(
-                    f"new best NDS {score:.4f} @ iter {i + 1} -> {best}",
-                    flush=True,
+                if is_main:
+                    print(
+                        f"new best NDS {score:.4f} @ iter {i + 1}",
+                        flush=True,
+                    )
+                save_ckpt(
+                    os.path.abspath(os.path.join(args.work_dir, "ckpt_best"))
                 )
 
 
