@@ -119,6 +119,51 @@ def test_train_multidevice_with_inprocess_eval(tmp_path):
         assert (work / "ckpt_best").exists()
 
 
+def test_train_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-run (the preemptible-VM eviction warning) must
+    produce a full-resume checkpoint and a clean exit — failure
+    handling the reference lacks entirely (SURVEY §5)."""
+    import signal
+    import tempfile
+
+    pkl = write_fake_dataset(tmp_path)
+    work = tmp_path / "work_pre"
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+        JAX_COMPILATION_CACHE_DIR=os.path.join(
+            tempfile.gettempdir(), "simpb_jax_compile_cache"
+        ),
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="10",
+    )
+    proc = subprocess.Popen(
+        [
+            sys.executable, os.path.join(REPO, "tools", "train.py"),
+            "--ann-file", pkl, "--config", "tiny", "--batch-size", "1",
+            "--max-iters", "500", "--log-interval", "1",
+            "--ckpt-interval", "1000", "--work-dir", str(work),
+            "--src-h", str(SRC_H), "--src-w", str(SRC_W),
+        ],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env,
+    )
+    try:
+        # wait for the first logged step, then deliver the eviction signal
+        for line in proc.stdout:
+            if line.startswith("iter "):
+                break
+        proc.send_signal(signal.SIGTERM)
+        rest, _ = proc.communicate(timeout=600)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, rest[-3000:]
+    assert "preemption signal" in rest, rest
+    pre = [d for d in os.listdir(work) if d.startswith("ckpt_preempt_")]
+    assert pre, os.listdir(work)
+
+
 def test_train_then_eval_cli(tmp_path):
     pkl = write_fake_dataset(tmp_path)
     work = tmp_path / "work"

@@ -407,6 +407,34 @@ def main():
 
     threading.Thread(target=producer, daemon=True).start()
 
+    # preemption-safe save (beyond the reference, which has no failure
+    # handling at all — SURVEY §5): preemptible TPU VMs get SIGTERM
+    # ahead of eviction; catch it and write a full-resume checkpoint at
+    # the next step boundary. Multi-process runs align the decision
+    # with a tiny cross-host OR (checked every few steps so the async
+    # dispatch pipeline stays unsynchronised between checks).
+    import signal
+
+    preempted = []
+    for sig in (signal.SIGTERM, signal.SIGUSR1):
+        try:
+            signal.signal(sig, lambda *_: preempted.append(True))
+        except (ValueError, OSError):
+            pass  # non-main thread / unsupported platform
+    preempt_check = max(1, min(args.log_interval, 50))
+
+    def should_stop(step_no):
+        if n_proc == 1:
+            return bool(preempted)
+        if step_no % preempt_check:
+            return False
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.int32(len(preempted) > 0)
+        )
+        return bool(np.any(flags))
+
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
     trained_pose = list(prev_pose)
@@ -449,6 +477,19 @@ def main():
             if is_main:
                 print(f"saved {path}", flush=True)
 
+        if should_stop(i + 1):
+            save_ckpt(
+                os.path.abspath(
+                    os.path.join(args.work_dir, f"ckpt_preempt_{i + 1}")
+                )
+            )
+            if is_main:
+                print(
+                    f"preemption signal: checkpointed at iter {i + 1}, "
+                    "exiting (resume with --resume-from)",
+                    flush=True,
+                )
+            return
         if (i + 1) % args.ckpt_interval == 0 or i + 1 == max_iters:
             # full resume state: optimizer moments + the streaming
             # temporal/DN state (beyond the reference, which restarts
