@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 import os
 import pickle
+import threading
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -178,29 +179,37 @@ class NuScenesDataset:
 
     # ---------------- sample assembly ----------------
     _decode_pool = None  # shared across instances (lazy, GIL-friendly)
+    _decode_pool_lock = threading.Lock()
 
-    def load_images(self, paths: List[str]) -> List[np.ndarray]:
+    def load_images(
+        self, paths: List[str], dtype=np.float32
+    ) -> List[np.ndarray]:
         """Decode the six camera images, in parallel on multi-core
         hosts: JPEG decode dominates the host pipeline (~19 ms/image —
         tools/host_pipeline_study.py) and PIL's decoder releases the
         GIL, so a thread pool scales it ~6x per sample. The reference
         gets the same parallelism from forked DataLoader workers
-        (builder.py:21-131)."""
+        (builder.py:21-131). `dtype=np.uint8` feeds the native
+        preprocessing kernel without a float round-trip (>8-bit
+        sources saturate rather than wrap)."""
         from PIL import Image
 
-        dtype = getattr(self, "_decode_dtype", np.float32)
-
         def _one(p):
-            return np.asarray(Image.open(p)).astype(dtype, copy=False)
+            arr = np.asarray(Image.open(p))
+            if dtype == np.uint8 and arr.dtype != np.uint8:
+                arr = np.clip(arr, 0, 255)  # 16-bit sources: saturate
+            return arr.astype(dtype, copy=False)
 
         if os.cpu_count() == 1 or len(paths) == 1:
             return [_one(p) for p in paths]
         if NuScenesDataset._decode_pool is None:
-            from concurrent.futures import ThreadPoolExecutor
+            with NuScenesDataset._decode_pool_lock:
+                if NuScenesDataset._decode_pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
 
-            NuScenesDataset._decode_pool = ThreadPoolExecutor(
-                max_workers=min(6, os.cpu_count())
-            )
+                    NuScenesDataset._decode_pool = ThreadPoolExecutor(
+                        max_workers=min(6, os.cpu_count())
+                    )
         return list(NuScenesDataset._decode_pool.map(_one, paths))
 
     def get_sample(
@@ -228,8 +237,10 @@ class NuScenesDataset:
             from . import native_preprocess as npz
 
             use_native_path = npz.available()
-        self._decode_dtype = np.uint8 if use_native_path else np.float32
-        imgs = self.load_images(geo["img_paths"])
+        imgs = self.load_images(
+            geo["img_paths"],
+            dtype=np.uint8 if use_native_path else np.float32,
+        )
         sample = {
             "timestamp": geo["timestamp"],
             "lidar2global": geo["lidar2global"],

@@ -68,6 +68,7 @@ def save_checkpoint(
     temporal,
     dn_state,
     prev_pose: Optional[List] = None,
+    best_score: Optional[float] = None,
 ) -> None:
     import orbax.checkpoint as ocp
 
@@ -79,6 +80,11 @@ def save_checkpoint(
         "temporal": temporal,
         "dn_state": dn_state,
         "prev_pose": _pack_prev_pose(prev_pose),
+        # NaN = no best yet; restored so a resumed run cannot regress
+        # ckpt_best with a worse post-resume score
+        "best_score": float(
+            best_score if best_score is not None else np.nan
+        ),
     }
     ocp.PyTreeCheckpointer().save(
         os.path.abspath(path), jax.tree.map(np.asarray, tree), force=True
@@ -87,11 +93,12 @@ def save_checkpoint(
 
 def restore_checkpoint(
     path: str, state, temporal, dn_state
-) -> Tuple[Any, Any, Any, Optional[List], int]:
+) -> Tuple[Any, Any, Any, Optional[List], int, Optional[float]]:
     """Restore into the given templates.
 
-    Returns (state, temporal, dn_state, prev_pose | None, start_iter).
-    Falls back to a params-only restore for older checkpoints.
+    Returns (state, temporal, dn_state, prev_pose | None, start_iter,
+    best_score | None). Falls back to a params-only restore for older
+    checkpoints.
     """
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
@@ -106,8 +113,10 @@ def restore_checkpoint(
         "temporal": temporal,
         "dn_state": dn_state,
         "prev_pose": _pack_prev_pose(None),
+        "best_score": float("nan"),
     }
     prev_pose = None
+    best_score = None
     # metadata pass: detect the checkpoint format and the prev_pose slot
     # count (follows bs_local, may differ from the current run) WITHOUT
     # deserialising any array data
@@ -122,6 +131,8 @@ def restore_checkpoint(
         # and must surface, not silently fall back to params-only
         n_slots = int(meta_tree["prev_pose"]["has"].shape[0])
         template["prev_pose"] = _pack_prev_pose([None] * n_slots)
+        if "best_score" not in meta_tree:  # pre-best_score checkpoint
+            template.pop("best_score")
         loaded = ckptr.restore(path, item=template)
         state = state.replace(
             params=loaded["params"],
@@ -133,6 +144,9 @@ def restore_checkpoint(
         dn_state = loaded["dn_state"]
         if n_slots:
             prev_pose = _unpack_prev_pose(loaded["prev_pose"])
+        bs_val = float(loaded.get("best_score", float("nan")))
+        if bs_val == bs_val:
+            best_score = bs_val
     else:
         print(
             f"[checkpoint] {path} is params-only (no optimizer/temporal "
@@ -146,4 +160,4 @@ def restore_checkpoint(
             batch_stats=raw["batch_stats"],
             step=jnp.asarray(raw["step"], jnp.int32),
         )
-    return state, temporal, dn_state, prev_pose, int(state.step)
+    return state, temporal, dn_state, prev_pose, int(state.step), best_score

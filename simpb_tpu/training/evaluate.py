@@ -293,7 +293,10 @@ def multidevice_streaming_eval(
                 progress=progress, tracking=tracking,
             )
     if max_frames:
-        shards = [s[:max_frames] for s in shards]
+        # max_frames is the TOTAL frame budget (same meaning as the
+        # single-stream path): split it evenly across the shards
+        per_shard = -(-max_frames // n)  # ceil
+        shards = [s[:per_shard] for s in shards]
     length = max(len(s) for s in shards)
 
     mesh = Mesh(np.asarray(devices), ("data",))
@@ -316,11 +319,17 @@ def multidevice_streaming_eval(
         [] for _ in range(n)
     ]
     state = None
+    last_sample: List[Optional[dict]] = [None] * n
     for t in range(length):
         samples = []
         for s in range(n):
-            idx = shards[s][min(t, len(shards[s]) - 1)]
-            samples.append(dataset.get_sample(idx, with_points=False))
+            if t < len(shards[s]):
+                last_sample[s] = dataset.get_sample(
+                    shards[s][t], with_points=False
+                )
+            # else: dead slot re-feeds its last frame (no re-decode);
+            # its predictions are dropped below
+            samples.append(last_sample[s])
         img = jax.device_put(
             np.stack([sm["img"] for sm in samples]), batch_sh
         )

@@ -63,16 +63,21 @@ def test_resumed_stream_matches_uninterrupted(tmp_path):
         state, temporal, dn_state, _ = step(state, b, temporal, dn_state, key)
     ckpt = tmp_path / "ckpt_full"
     prev_pose = [(123.5, np.eye(4) * 2.0)] * BS
-    save_checkpoint(str(ckpt), state, temporal, dn_state, prev_pose)
+    save_checkpoint(
+        str(ckpt), state, temporal, dn_state, prev_pose, best_score=0.41
+    )
 
     state2 = create_train_state(model, variables, tc)  # fresh moments
     temporal2, dn_state2 = init_temporal(cfg, BS)
-    state2, temporal2, dn_state2, pp, start = restore_checkpoint(
+    state2, temporal2, dn_state2, pp, start, best = restore_checkpoint(
         str(ckpt), state2, temporal2, dn_state2
     )
     assert start == 2
     assert pp is not None and pp[0][0] == 123.5
     np.testing.assert_array_equal(pp[0][1], np.eye(4) * 2.0)
+    # the best-eval score rides the checkpoint so a resumed run cannot
+    # regress ckpt_best
+    assert best == 0.41
 
     for b in batches[2:]:
         state2, temporal2, dn_state2, _ = step(
@@ -107,8 +112,9 @@ def test_restore_old_params_only_checkpoint(tmp_path):
     }
     path = str(tmp_path / "old_ckpt")
     ocp.PyTreeCheckpointer().save(path, old, force=True)
-    state2, t2, d2, pp, start = restore_checkpoint(
+    state2, t2, d2, pp, start, best = restore_checkpoint(
         path, state, temporal, dn_state
     )
     assert start == 7
     assert pp is None
+    assert best is None

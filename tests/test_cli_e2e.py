@@ -19,8 +19,14 @@ SRC_H, SRC_W = 60, 100
 
 
 def write_fake_dataset(tmp_path, n_frames=8, gap_at=None):
-    """gap_at=k inserts a >4 s timestamp gap before frame k, splitting
-    the stream into two scenes (sequence_eval_shards boundary rule)."""
+    """gap_at=k (or a list of ks) inserts a >4 s timestamp gap before
+    frame k, splitting the stream into scenes
+    (sequence_eval_shards boundary rule)."""
+    gaps = (
+        []
+        if gap_at is None
+        else ([gap_at] if isinstance(gap_at, int) else list(gap_at))
+    )
     rng = np.random.default_rng(0)
     img_dir = tmp_path / "imgs"
     img_dir.mkdir()
@@ -55,7 +61,7 @@ def write_fake_dataset(tmp_path, n_frames=8, gap_at=None):
                 timestamp=(
                     1.5e9
                     + i * 0.5
-                    + (10.0 if gap_at is not None and i >= gap_at else 0.0)
+                    + 10.0 * sum(1 for g in gaps if i >= g)
                 ) * 1e6,
                 lidar_path=None,
                 sweeps=[] if i % 4 == 0 else [1],

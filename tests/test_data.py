@@ -206,8 +206,8 @@ def test_pad_sample_contract(tmp_path):
         "rand_flip": False, "rot3d_range": [0, 0],
     })
     # stub image loading (files don't exist)
-    ds.load_images = lambda paths: [
-        np.zeros((60, 100, 3), np.float32) for _ in paths
+    ds.load_images = lambda paths, dtype=np.float32: [
+        np.zeros((60, 100, 3), dtype) for _ in paths
     ]
     rng = np.random.default_rng(0)
     sample = ds.get_sample(0, rng=rng, with_points=False)

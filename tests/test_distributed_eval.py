@@ -98,7 +98,12 @@ def test_multidevice_eval_matches_single(tmp_path):
     keeps serving stale cached features through a broken-stream mask,
     instance_bank.py:79-119, so masked reset != cold start there too.)
     The fp32 CPU mesh makes the batched and sequential computations
-    numerically identical up to reduction order."""
+    numerically identical up to reduction order.
+
+    The fixture has three scenes of 4/3/3 frames so the two shards are
+    UNEQUAL (4 vs 6): the shorter slot's padded-tail steps (dead-slot
+    re-feed, dropped predictions) are exercised, not just the aligned
+    case."""
     from simpb_tpu.configs.base import simpb_tiny
     from simpb_tpu.data.dataset import NuScenesDataset
     from simpb_tpu.training.evaluate import (
@@ -106,7 +111,7 @@ def test_multidevice_eval_matches_single(tmp_path):
         streaming_eval,
     )
 
-    pkl = write_fake_dataset(tmp_path, n_frames=8, gap_at=4)
+    pkl = write_fake_dataset(tmp_path, n_frames=10, gap_at=[4, 7])
     cfg = simpb_tiny()
     fw, fh = cfg.input_size
     aug = {
@@ -122,6 +127,10 @@ def test_multidevice_eval_matches_single(tmp_path):
     dataset = NuScenesDataset(
         pkl, test_mode=True, data_aug_conf=aug, sequences_split_num=1
     )
+    from simpb_tpu.data.sampler import sequence_eval_shards
+
+    shard_lens = [len(s) for s in sequence_eval_shards(dataset, 2)]
+    assert sorted(shard_lens) == [4, 6], shard_lens  # unequal by design
     model, variables = _build(cfg, fh, fw)
 
     m_multi, p_multi, tok_multi = multidevice_streaming_eval(
@@ -134,7 +143,7 @@ def test_multidevice_eval_matches_single(tmp_path):
         )
         p_seq.extend(p_r)
         tok_seq.extend(tok_r)
-    assert len(tok_multi) == 8 and set(tok_multi) == set(tok_seq)
+    assert len(tok_multi) == 10 and set(tok_multi) == set(tok_seq)
     # shard-major output ordering matches the rank-ordered merge
     assert tok_multi == tok_seq
 

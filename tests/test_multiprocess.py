@@ -38,7 +38,10 @@ def test_two_process_train_ckpt_eval(tmp_path):
     work = tmp_path / "work_mp"
     port = _free_port()
 
-    procs = []
+    # subprocess output goes to FILES, not pipes: an undrained pipe
+    # from one rank can block it mid-write while the other rank waits
+    # at a jax.distributed collective -> mutual hang until timeout
+    procs, logs = [], []
     for pid in range(2):
         env = dict(
             os.environ,
@@ -47,6 +50,8 @@ def test_two_process_train_ckpt_eval(tmp_path):
             JAX_COMPILATION_CACHE_DIR=CACHE,
             JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="10",
         )
+        log = open(tmp_path / f"rank{pid}.log", "w+")
+        logs.append(log)
         procs.append(
             subprocess.Popen(
                 [
@@ -62,25 +67,26 @@ def test_two_process_train_ckpt_eval(tmp_path):
                     "--coordinator", f"localhost:{port}",
                     "--num-processes", "2", "--process-id", str(pid),
                 ],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-                env=env,
+                stdout=log, stderr=subprocess.STDOUT, text=True, env=env,
             )
         )
 
     outs = []
     try:
-        for p in procs:
-            outs.append(p.communicate(timeout=1500))
+        for p, log in zip(procs, logs):
+            p.wait(timeout=2200)
+            log.seek(0)
+            outs.append(log.read())
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+        for log in logs:
+            log.close()
 
-    for pid, (p, (stdout, stderr)) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, (
-            f"rank {pid} failed:\n{stderr[-4000:]}\n{stdout[-1000:]}"
-        )
-    out0, out1 = outs[0][0], outs[1][0]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out[-5000:]}"
+    out0, out1 = outs
     # rank 0 logs the (replicated) loss and the gathered eval metrics
     assert "loss" in out0, out0
     assert "eval @ iter 2" in out0, out0

@@ -114,11 +114,16 @@ def main():
     with tempfile.TemporaryDirectory() as tmp:
         ds = make_dataset(tmp, args.frames, use_native=not args.pil)
 
-        # decode-only baseline (PIL JPEG decode of 6 cams)
+        # decode-only baseline (PIL JPEG decode of 6 cams, same dtype
+        # the measured path feeds downstream)
+        dt = np.float32 if args.pil else np.uint8
         t0 = time.perf_counter()
         for _ in range(10):
-            ds.load_images([ds.data_infos[0]["cams"][f"CAM{c}"]["data_path"]
-                            for c in range(6)])
+            ds.load_images(
+                [ds.data_infos[0]["cams"][f"CAM{c}"]["data_path"]
+                 for c in range(6)],
+                dtype=dt,
+            )
         decode_ms = (time.perf_counter() - t0) / 10 * 1e3
 
         ds.get_sample(0, with_points=False)  # warm (native lib build)

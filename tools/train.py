@@ -63,9 +63,9 @@ def parse_args():
                         " equivalent)")
     p.add_argument("--eval-interval", type=int, default=20000)
     p.add_argument("--eval-frames", type=int, default=500,
-                   help="cap on mid-training eval frames (per device "
-                        "shard when several local devices stream in "
-                        "parallel)")
+                   help="total cap on mid-training eval frames (split "
+                        "evenly across device shards when several "
+                        "local devices stream in parallel)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize before device "
                         "use (replaces the reference's pytorch/slurm/mpi "
@@ -216,14 +216,17 @@ def main():
     temporal, dn_state = init_temporal(cfg, bs_global)
     start_iter = 0
     resumed_prev_pose = None
+    best_score = None
     if args.resume_from:
         # full-state resume: optimizer moments + the streaming temporal
-        # instance bank / DN cache / host pose slots, so the resumed
-        # stream continues exactly where the interrupted one stopped
-        # (the reference restarts the stream cold — SURVEY §5)
-        state, temporal, dn_state, resumed_prev_pose, start_iter = (
-            restore_checkpoint(args.resume_from, state, temporal, dn_state)
-        )
+        # instance bank / DN cache / host pose slots / best-eval score,
+        # so the resumed stream continues exactly where the interrupted
+        # one stopped (the reference restarts the stream cold — SURVEY
+        # §5) and ckpt_best cannot regress to a worse post-resume score
+        (
+            state, temporal, dn_state, resumed_prev_pose, start_iter,
+            best_score,
+        ) = restore_checkpoint(args.resume_from, state, temporal, dn_state)
         if resumed_prev_pose and n_proc > 1:
             # the checkpoint holds all bs_global slots in rank order —
             # keep this process's contiguous slice (matches the
@@ -438,7 +441,6 @@ def main():
     key = jax.random.PRNGKey(args.seed)
     t0 = time.time()
     trained_pose = list(prev_pose)
-    best_score = None
     for i in range(start_iter, max_iters):
         item = prefetch.get()
         if item is None:
@@ -473,7 +475,10 @@ def main():
             t_host, d_host, pose_host = gather_stream_state(
                 temporal, dn_state, trained_pose
             )
-            save_checkpoint(path, state, t_host, d_host, pose_host)
+            save_checkpoint(
+                path, state, t_host, d_host, pose_host,
+                best_score=best_score,
+            )
             if is_main:
                 print(f"saved {path}", flush=True)
 
