@@ -89,6 +89,45 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return out
 
 
+def host_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Align all processes at the coordinator service (no device
+    collective involved). No-op when not running under
+    `jax.distributed`."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+
+
+def warm_mesh_collectives(mesh: Mesh) -> None:
+    """Initialise every CPU (gloo) communicator clique the training
+    program will use, while the hosts are still aligned.
+
+    Gloo context creation has a hard ~30 s peer deadline baked into
+    XLA (`make_gloo_tcp_collectives` exposes no timeout), and per-host
+    compile/tracing skew easily exceeds it — observed as 'Gloo context
+    initialization failed: DEADLINE_EXCEEDED' at the first global
+    device_put / train-step psum in the two-process CI run. Running one
+    tiny collective per clique here (full-mesh psum + cross-host
+    replication pairs) right after a coordinator barrier leaves warm,
+    cached contexts that later first-uses reuse regardless of skew.
+    No-op single-process and on TPU pods this is a harmless microscopic
+    warmup step."""
+    if jax.process_count() == 1:
+        return
+    host_barrier("simpb_mesh_warmup")
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(mesh.axis_names[0]))
+    n_local = mesh.devices.size // jax.process_count()
+    g = jax.make_array_from_process_local_data(
+        data, np.zeros((n_local,), np.float32)
+    )
+    np.asarray(jax.jit(lambda x: x.sum(), out_shardings=repl)(g))
+    np.asarray(jax.device_put(np.float32(0), repl))
+    host_barrier("simpb_mesh_warmup_done")
+
+
 def initialize_multihost(
     coordinator: Optional[str] = None,
     num_processes: Optional[int] = None,
@@ -96,7 +135,16 @@ def initialize_multihost(
 ) -> None:
     """Multi-host (DCN) initialisation — the reference's launcher matrix
     (pytorch/slurm/mpi/mpi_nccl, tools/train.py:181-219) collapses to one
-    call here; TPU pod runtimes usually autodetect all arguments."""
+    call here; TPU pod runtimes usually autodetect all arguments.
+
+    After initialisation the hosts are re-aligned at the coordinator
+    and one tiny allgather runs while they are aligned: the CPU (gloo)
+    collective backend's context init has a hard ~30 s peer deadline,
+    so the first collective must not happen at a point where hosts have
+    drifted minutes apart (per-host compile/tracing skew does exactly
+    that — observed as 'Gloo context initialization failed:
+    DEADLINE_EXCEEDED' in the two-process CI run). Warming the context
+    here removes the constraint from all later collectives."""
     if coordinator is None:
         jax.distributed.initialize()
     else:
@@ -105,3 +153,8 @@ def initialize_multihost(
             num_processes=num_processes,
             process_id=process_id,
         )
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        host_barrier("simpb_collectives_warmup")
+        multihost_utils.process_allgather(np.zeros((1,), np.int32))

@@ -242,9 +242,11 @@ def main():
         make_mesh,
         replicated,
         shard_batch,
+        warm_mesh_collectives,
     )
 
     mesh = make_mesh()
+    warm_mesh_collectives(mesh)
     data_sh = batch_sharding(mesh)
     repl = replicated(mesh)
     if n_proc > 1:
