@@ -29,10 +29,21 @@ _JIT_CACHE: Dict[Tuple, Tuple[Any, Any, Any]] = {}
 _JIT_CACHE_MAX = 3
 
 
-def _jitted_steps(model, cfg):
+def _jitted_steps(model, cfg, cam_mesh=None):
+    """Jitted (cold_step, stream_step) for bs-batched streaming.
+
+    With `cam_mesh` (a 1-D mesh named "cam"), the camera axis of the
+    image/projection inputs shards across its devices and XLA inserts
+    the cross-camera collectives the decoder needs — single-stream
+    LATENCY scaling over several chips, the SURVEY §5 high-res scaling
+    plan (camera-axis sharding; no reference equivalent — the reference
+    is strictly one-GPU-per-stream at inference)."""
     from ..models.decoder3d import decode_boxes3d
 
-    key = (id(model), cfg.head.num_output, cfg.head.score_threshold)
+    key = (
+        id(model), cfg.head.num_output, cfg.head.score_threshold,
+        id(cam_mesh),
+    )
     entry = _JIT_CACHE.get(key)
     if entry is not None and entry[0] is model:
         return entry[1], entry[2]
@@ -48,17 +59,33 @@ def _jitted_steps(model, cfg):
         )
         return dec, out["temporal_state"]
 
-    @jax.jit
-    def cold_step(variables, img, proj):
+    def _cold(variables, img, proj):
         return _select(model.apply(variables, img, proj, train=False))
 
-    @jax.jit
-    def stream_step(variables, img, proj, state, dt, t2c):
+    def _stream(variables, img, proj, state, dt, t2c):
         return _select(
             model.apply(
                 variables, img, proj, temporal=state, time_interval=dt,
                 temp2cur=t2c, train=False,
             )
+        )
+
+    if cam_mesh is None:
+        cold_step, stream_step = jax.jit(_cold), jax.jit(_stream)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cam_sh = NamedSharding(cam_mesh, P(None, "cam"))
+        repl = NamedSharding(cam_mesh, P())
+        cold_step = jax.jit(
+            _cold,
+            in_shardings=(repl, cam_sh, cam_sh),
+            out_shardings=repl,
+        )
+        stream_step = jax.jit(
+            _stream,
+            in_shardings=(repl, cam_sh, cam_sh, repl, repl, repl),
+            out_shardings=repl,
         )
 
     while len(_JIT_CACHE) >= _JIT_CACHE_MAX:
@@ -76,12 +103,13 @@ def _stream_shard(
     show_dir: Optional[str] = None,
     show_threshold: float = 0.3,
     progress: bool = False,
+    cam_mesh=None,
 ):
     """Stream one sequence-aligned shard; returns
     (preds, gts, scene_ids, tokens) with boxes in the global frame."""
     from ..data.postprocess import boxes_lidar_to_global
 
-    cold_step, stream_step = _jitted_steps(model, cfg)
+    cold_step, stream_step = _jitted_steps(model, cfg, cam_mesh=cam_mesh)
 
     preds: List[dict] = []
     gts: List[dict] = []
@@ -211,6 +239,7 @@ def streaming_eval(
     tracking: bool = False,
     world_size: int = 1,
     rank: int = 0,
+    cam_shards: int = 1,
 ) -> Tuple[Dict[str, float], List[dict], List[str]]:
     """Stream one shard of `dataset` through the model and score it.
 
@@ -223,8 +252,24 @@ def streaming_eval(
     tracking branch of evaluate() (nuscenes_dataset.py:717-718).
     `world_size`/`rank` select one sequence-aligned shard (metrics then
     cover that shard only — use `distributed_streaming_eval` for the
-    gathered multi-process score)."""
+    gathered multi-process score). `cam_shards > 1` shards the CAMERA
+    axis over that many local devices for single-stream latency
+    scaling (outputs identical to the unsharded stream —
+    tests/test_distributed_eval.py)."""
     from ..data.sampler import sequence_eval_shards
+
+    cam_mesh = None
+    if cam_shards > 1:
+        from jax.sharding import Mesh
+
+        n_cams = getattr(cfg.head, "num_cams", 6)
+        if n_cams % cam_shards:
+            raise ValueError(
+                f"cam_shards={cam_shards} must divide {n_cams} cameras"
+            )
+        cam_mesh = Mesh(
+            np.array(jax.local_devices()[:cam_shards]), ("cam",)
+        )
 
     shard = sequence_eval_shards(dataset, world_size)[rank]
     if max_frames:
@@ -232,7 +277,7 @@ def streaming_eval(
     preds, gts, scene_ids, tokens = _stream_shard(
         model, cfg, variables, dataset, shard,
         show_dir=show_dir, show_threshold=show_threshold,
-        progress=progress,
+        progress=progress, cam_mesh=cam_mesh,
     )
     return _score(preds, gts, scene_ids, tracking), preds, tokens
 

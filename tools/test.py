@@ -50,6 +50,12 @@ def parse_args():
                    help="render detections on images + BEV (reference"
                         " --show_only) and write a video here")
     p.add_argument("--show-threshold", type=float, default=0.3)
+    p.add_argument("--cam-shards", type=int, default=1,
+                   help="shard the CAMERA axis of the single stream "
+                        "over this many local chips (must divide 6): "
+                        "latency scaling for high-res configs (the "
+                        "SURVEY §5 plan; no reference equivalent). "
+                        "Overrides the per-device sequence sharding.")
     p.add_argument("--msda-patch", action="store_true",
                    help="approximate patch-mode 2D cross-attn sampling "
                         "(~1.4x faster, PERF.md lever #1)")
@@ -172,6 +178,21 @@ def main():
         if result is None:
             return  # non-zero rank: shard written, rank 0 reports
         metrics, preds, tokens = result
+    elif args.cam_shards > 1:
+        # camera-axis sharding: ONE stream, its six cameras split over
+        # local chips — per-frame latency scaling (identical outputs)
+        metrics, preds, tokens = streaming_eval(
+            model,
+            cfg,
+            variables,
+            dataset,
+            max_frames=args.max_frames,
+            show_dir=args.show_dir,
+            show_threshold=args.show_threshold,
+            progress=True,
+            tracking=args.tracking,
+            cam_shards=args.cam_shards,
+        )
     elif jax.local_device_count() > 1 and not args.show_dir:
         # single process, several chips: stream one sequence shard per
         # device over a 1-D data mesh (JAX-native replacement for the
