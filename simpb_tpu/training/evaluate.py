@@ -267,6 +267,11 @@ def streaming_eval(
             raise ValueError(
                 f"cam_shards={cam_shards} must divide {n_cams} cameras"
             )
+        if cam_shards > len(jax.local_devices()):
+            raise ValueError(
+                f"cam_shards={cam_shards} exceeds the "
+                f"{len(jax.local_devices())} local devices"
+            )
         cam_mesh = Mesh(
             np.array(jax.local_devices()[:cam_shards]), ("cam",)
         )
