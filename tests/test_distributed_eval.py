@@ -179,6 +179,13 @@ def test_camera_sharded_eval_matches_single(tmp_path):
 
     pkl = write_fake_dataset(tmp_path, n_frames=4)
     cfg = simpb_tiny()
+    # threshold 0 keeps all num_output boxes valid: the decoded output
+    # shapes become static, so the cross-arm comparisons below cannot
+    # be broken by a borderline score crossing the 0.05 threshold in
+    # only one arm (the arms differ by reduction-order float noise)
+    cfg = dataclasses.replace(
+        cfg, head=dataclasses.replace(cfg.head, score_threshold=0.0)
+    )
     fw, fh = cfg.input_size
     aug = {
         "resize_lim": (0.4, 0.47),
@@ -215,10 +222,12 @@ def test_camera_sharded_eval_matches_single(tmp_path):
             # amplifies reduction-order noise without bound (observed
             # growing from 4e-4 at t=1 to full divergence by t=3), so
             # numeric comparison is meaningless here — assert the
-            # sharded stream stays structurally sound instead. The
+            # sharded stream stays structurally sound instead (static
+            # shapes thanks to score_threshold=0, finite values). The
             # cold-frame equality above is the program-equivalence
             # evidence; train-time equivalence of reduction-order noise
             # is inherent (it is below bf16 training noise).
-            assert a["boxes"].shape == b["boxes"].shape
+            assert a["boxes"].shape == (cfg.head.num_output, 10)
+            assert a["scores"].shape == (cfg.head.num_output,)
             assert np.isfinite(a["boxes"]).all()
             assert np.isfinite(a["scores"]).all()

@@ -157,9 +157,18 @@ def main():
         variables["params"] = loaded["params"]
         variables["batch_stats"] = loaded["batch_stats"]
 
+    if args.cam_shards < 1:
+        raise SystemExit(f"--cam-shards must be >= 1, got {args.cam_shards}")
     if jax.process_count() > 1:
         from simpb_tpu.training.evaluate import distributed_streaming_eval
 
+        if args.cam_shards > 1:
+            raise SystemExit(
+                "--cam-shards applies to single-process eval only; a "
+                "multi-process launch already assigns one sequence "
+                "shard per process (drop --cam-shards or run one "
+                "process)"
+            )
         if not args.gather_dir:
             raise SystemExit(
                 "--gather-dir (a shared filesystem path) is required "
@@ -180,7 +189,9 @@ def main():
         metrics, preds, tokens = result
     elif args.cam_shards > 1:
         # camera-axis sharding: ONE stream, its six cameras split over
-        # local chips — per-frame latency scaling (identical outputs)
+        # local chips — per-frame latency scaling (cold-frame outputs
+        # equal to the unsharded stream within cross-camera reduction-
+        # order noise; see training/evaluate.py::streaming_eval)
         metrics, preds, tokens = streaming_eval(
             model,
             cfg,
