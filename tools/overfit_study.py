@@ -301,6 +301,7 @@ def main():
         ]
         batches = [build_batch(s, 5.0) for s in scenes]
 
+    print(f"{len(scenes)} scenes painted; compiling init...", flush=True)
     model = SimPB(cfg)
     variables = jax.jit(
         lambda: model.init(
@@ -376,6 +377,7 @@ def main():
         return m
 
     temporal0, _ = init_temporal(cfg, 1)
+    print("init done; scoring the untrained model...", flush=True)
 
     state = create_train_state(model, variables, tc)
     del variables  # buffers are donated into `state` by the train step

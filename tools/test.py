@@ -62,6 +62,11 @@ def parse_args():
     p.add_argument("--fused-trunk", action="store_true",
                    help="fused Pallas bottleneck trunk (inference-only, "
                         "BN-folded numerics; ops/conv_fused.py)")
+    p.add_argument("--head-bf16", action="store_true",
+                   help="run the decoder head in bfloat16 like bench.py "
+                        "(~1.2x end-to-end; default keeps the head fp32, "
+                        "matching the reference's fp32-head policy for "
+                        "checkpoint-parity evals)")
     p.add_argument("--gather-dir", default=None,
                    help="shared dir for the multi-process disk-gather "
                         "eval (reference custom_multi_gpu_test tmpdir, "
@@ -101,6 +106,8 @@ def main():
            "r101-fast": simpb_r101_1408x512_fast,
            "tiny": simpb_tiny}[args.config]()
     cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    if args.head_bf16:
+        cfg = dataclasses.replace(cfg, head_dtype="bfloat16")
     if args.msda_patch:
         cfg = dataclasses.replace(
             cfg, head=dataclasses.replace(cfg.head, msda_patch_mode=True)
