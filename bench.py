@@ -19,6 +19,7 @@ import os
 from simpb_tpu.configs.base import (
     simpb_r50_704x256,
     simpb_r50_704x256_fast,
+    simpb_r50_704x256_guarded,
 )
 from simpb_tpu.utils.benchmark import run_benchmark
 
@@ -26,11 +27,15 @@ BASELINE_FPS = 50.0
 
 
 def main():
-    base = (
-        simpb_r50_704x256()
-        if os.environ.get("SIMPB_EXACT")
-        else simpb_r50_704x256_fast()
-    )
+    if os.environ.get("SIMPB_GUARDED"):
+        # exact semantics + evidence-backed caps + in-graph overflow
+        # counters (checked exactness); the counters run in-graph and
+        # are charged against the number (utils/benchmark.py)
+        base = simpb_r50_704x256_guarded()
+    elif os.environ.get("SIMPB_EXACT"):
+        base = simpb_r50_704x256()
+    else:
+        base = simpb_r50_704x256_fast()
     cfg = dataclasses.replace(
         base, compute_dtype="bfloat16", head_dtype="bfloat16"
     )

@@ -101,6 +101,13 @@ class HeadConfig:
     cls_threshold_to_reg: float = 0.05
     # allocation DN capacity per camera
     dn_allocation_capacity: int = 128
+    # in-graph sampling-exactness guard: sow per-frame overflow
+    # counters (DFA/MSDA cap overflow; window clamp + dropped level
+    # mass in patch mode) into the "guards" collection. Makes the
+    # capped configs' "exact while caps cover demand" posture a
+    # CHECKED invariant: evals report the counters, and 0 means the
+    # frame's sampling was bit-equivalent to the uncapped exact op.
+    guard_sampling: bool = False
     # optional deformable-DETR feature encoder (the reference's
     # `encoder2d` hook, disabled in every released config —
     # reference config:145 `encoder2d=None`). 0 = off.
@@ -218,6 +225,30 @@ def simpb_r50_704x256_fast() -> ModelConfig:
         msda_gather_capacity=208,
         dfa_gather_capacity=2048,
         msda_sel_levels=2,
+    )
+    return ModelConfig(head=head)
+
+
+def simpb_r50_704x256_guarded() -> ModelConfig:
+    """Exact sampling semantics with evidence-backed gather caps, and
+    the caps' sufficiency CHECKED in-graph.
+
+    Sampling math is bit-identical to the parity config whenever demand
+    fits the caps — and the guard counters prove it per frame: every
+    eval surfaces `sampling_guard` maxima, where 0 overflow means the
+    run was exactly the uncapped semantics. Caps sit at the measured
+    maxima from tools/capacity_study.py (50 realistic rigs): MSDA valid
+    slots max 203 -> cap 208; DFA in-range keypoints max 2289 -> cap
+    2304 (also an XLA tiling sweet spot neighbour of 2048). Use this
+    config to serve converted released checkpoints faster than the
+    parity config without giving up provable exactness.
+    Match: ops/src/deformable_aggregation_cuda.cu:129-187 (semantics
+    preserved while cutting gather rows).
+    """
+    head = HeadConfig(
+        msda_gather_capacity=208,
+        dfa_gather_capacity=2304,
+        guard_sampling=True,
     )
     return ModelConfig(head=head)
 

@@ -57,6 +57,7 @@ class NuScenesDataset:
         load_interval: int = 1,
         use_valid_flag: bool = True,
         use_native: bool = True,
+        draft_decode: bool = False,
     ):
         self.data_root = data_root
         self.test_mode = test_mode
@@ -65,6 +66,13 @@ class NuScenesDataset:
         self.strides = strides
         self.use_valid_flag = use_valid_flag
         self.use_native = use_native
+        # DCT-domain scaled JPEG decode (PIL `draft`): decode directly
+        # at the smallest libjpeg n/8 scale that still covers the aug
+        # resize factor (~2x cheaper at nuScenes' 0.40-0.47 scales —
+        # tools/host_pipeline_study.py). Opt-in: the downscale filter
+        # chain (DCT box + bilinear) differs slightly from full-res
+        # bilinear, so parity evals keep it off.
+        self.draft_decode = draft_decode
         with open(ann_file, "rb") as f:
             data = pickle.load(f)
         self.data_infos = sorted(data["infos"], key=lambda e: e["timestamp"])
@@ -182,7 +190,8 @@ class NuScenesDataset:
     _decode_pool_lock = threading.Lock()
 
     def load_images(
-        self, paths: List[str], dtype=np.float32
+        self, paths: List[str], dtype=np.float32,
+        scale_hint: Optional[float] = None,
     ) -> List[np.ndarray]:
         """Decode the six camera images, in parallel on multi-core
         hosts: JPEG decode dominates the host pipeline (~19 ms/image —
@@ -191,11 +200,34 @@ class NuScenesDataset:
         gets the same parallelism from forked DataLoader workers
         (builder.py:21-131). `dtype=np.uint8` feeds the native
         preprocessing kernel without a float round-trip (>8-bit
-        sources saturate rather than wrap)."""
+        sources saturate rather than wrap).
+
+        `scale_hint` (the aug resize factor) enables libjpeg DCT-domain
+        scaled decode via PIL `draft`: the image decodes directly at
+        the smallest n/8 scale >= the hint (e.g. 1/2 for nuScenes'
+        0.40-0.47), roughly halving the dominant decode cost. Only
+        taken when the n/8 scale divides BOTH dimensions exactly (so
+        one resize factor stays exact on both axes — true for
+        1600x900 at 1/2); otherwise the full-res decode runs. The
+        caller rescales its resize factor by (src_w / decoded_w)."""
         from PIL import Image
 
         def _one(p):
-            arr = np.asarray(Image.open(p))
+            im = Image.open(p)
+            if scale_hint is not None and im.format == "JPEG":
+                w0, h0 = im.size
+                im.draft(
+                    "RGB",
+                    (max(1, int(np.ceil(w0 * scale_hint))),
+                     max(1, int(np.ceil(h0 * scale_hint)))),
+                )
+                wd, hd = im.size
+                aspect_exact = (
+                    (h0 * wd) % w0 == 0 and hd == h0 * wd // w0
+                )
+                if (wd, hd) != (w0, h0) and not aspect_exact:
+                    im = Image.open(p)  # uneven n/8 rounding: full res
+            arr = np.asarray(im)
             if dtype == np.uint8 and arr.dtype != np.uint8:
                 arr = np.clip(arr, 0, 255)  # 16-bit sources: saturate
             return arr.astype(dtype, copy=False)
@@ -240,6 +272,11 @@ class NuScenesDataset:
         imgs = self.load_images(
             geo["img_paths"],
             dtype=np.uint8 if use_native_path else np.float32,
+            scale_hint=(
+                aug.get("resize", 1.0)
+                if use_native_path and self.draft_decode
+                else None
+            ),
         )
         sample = {
             "timestamp": geo["timestamp"],
@@ -261,7 +298,21 @@ class NuScenesDataset:
             if use_native_path:
                 from . import native_preprocess as npz
 
-                out = npz.preprocess_image(img, aug)
+                # draft-decoded sources arrive pre-scaled by k; the
+                # kernel's src mapping composes exactly through
+                # resize_eff = resize * k (csrc/preprocess.cpp:31-45),
+                # and the intrinsic update below stays in the ORIGINAL
+                # resize semantics (final geometry unchanged)
+                src_w = (self.data_aug_conf or {}).get(
+                    "W", img.shape[1]
+                )
+                k = src_w / img.shape[1]
+                aug_i = (
+                    dict(aug, resize=aug.get("resize", 1.0) * k)
+                    if k != 1.0
+                    else aug
+                )
+                out = npz.preprocess_image(img, aug_i)
                 # intrinsic update matrix (same math as img_transform)
                 m = np.eye(3)
                 m[:2, :2] *= aug.get("resize", 1.0)

@@ -36,6 +36,10 @@ class DeformableFeatureAggregation(nn.Module):
     gather_capacity: Optional[int] = 4096
     sel_levels: Optional[int] = None
     level_capacity: Optional[int] = None
+    # in-graph exactness guard: sow per-frame cap-overflow (and dropped
+    # level mass when sel_levels is on) into the "guards" collection so
+    # capped sampling becomes a CHECKED invariant at eval
+    guard: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -101,6 +105,42 @@ class DeformableFeatureAggregation(nn.Module):
         points_2d = points_2d.transpose(0, 2, 3, 1, 4)
         # [bs, A, cams, L, P, G] -> [bs, A, P, cams, L, G]
         w = weights.transpose(0, 1, 4, 2, 3, 5)
+
+        if self.guard and not self.is_initializing():
+            # cap overflow: in-range (anchor, point) demand per camera
+            # beyond `gather_capacity` means dropped keypoints (the same
+            # in-range definition the op's compaction uses)
+            in_r = (
+                (points_2d[..., 0] > 0.0)
+                & (points_2d[..., 0] < 1.0)
+                & (points_2d[..., 1] > 0.0)
+                & (points_2d[..., 1] < 1.0)
+            )  # [bs, A, P, cams]
+            counts = in_r.sum((1, 2))  # [bs, cams]
+            cap = self.gather_capacity
+            cap_eff = (
+                cap
+                if cap is not None and cap < num_anchor * num_pts
+                else num_anchor * num_pts
+            )
+            self.sow(
+                "guards", "dfa_overflow",
+                jnp.maximum(jnp.max(counts) - cap_eff, 0).astype(
+                    jnp.float32
+                ),
+            )
+            if self.sel_levels is not None and self.sel_levels < self.num_levels:
+                # dropped fusion-weight mass of non-top-k levels
+                mass = w.astype(jnp.float32).sum(-1)  # [bs, A, P, cams, L]
+                topk, _ = jax.lax.top_k(mass, self.sel_levels)
+                self.sow(
+                    "guards", "dfa_level_dropped_mass",
+                    jnp.max(
+                        jnp.where(
+                            in_r, mass.sum(-1) - topk.sum(-1), 0.0
+                        )
+                    ),
+                )
         features = deformable_aggregation(
             col_feats, spatial_shapes, points_2d.astype(col_feats.dtype),
             w.astype(col_feats.dtype), gather_capacity=self.gather_capacity,

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.format import SpatialShapes
-from ..ops.sampling import msda, msda_patch
+from ..ops.sampling import msda, msda_patch, msda_window_stats
 from .layers import MultiheadAttention
 
 
@@ -138,6 +138,11 @@ class QueryGroupMSDA(nn.Module):
     # per-(query, level) sample spread <= 7 px exactly; 6x6 measured
     # ~+0.5 ms/frame faster at r50 but clamps reach sooner (PERF.md)
     patch_hw: Tuple[int, int] = (8, 8)
+    # in-graph exactness guard: sow per-frame overflow counters into the
+    # "guards" collection (slot-cap overflow; window clamp + dropped
+    # level mass in patch mode) so capped/windowed semantics become a
+    # CHECKED invariant at eval (VERDICT.md round-2 item 1b)
+    guard: bool = False
 
     @nn.compact
     def __call__(
@@ -161,13 +166,14 @@ class QueryGroupMSDA(nn.Module):
         value_proj = nn.Dense(
             self.embed_dims, dtype=self.dtype, name="value_proj"
         )
-        # post-projection mode (patch path + shared raw pair table):
-        # sampling is linear in the value, so the value projection is
-        # applied to the Q sampled rows instead of the ΣHW table rows —
-        # one raw `make_pair_table` then serves every sampling call of
-        # the frame (exact; border bias handled via the sampled weight
-        # mass, see ops/sampling.py::msda_patch)
-        post_proj = self.patch_mode and pair_table is not None
+        # post-projection mode (shared raw pair table, patch OR exact
+        # path): sampling is linear in the value, so the value
+        # projection is applied to the Q sampled rows instead of the
+        # ΣHW table rows — one raw `make_pair_table` then serves every
+        # sampling call of the frame (exact; border bias handled via
+        # the sampled weight mass, see ops/sampling.py::msda_patch and
+        # ops/sampling.py::msda `raw_heads`)
+        post_proj = pair_table is not None
         if post_proj:
             v = value.reshape(bs * self.num_cams, -1, self.embed_dims)
         else:
@@ -215,6 +221,40 @@ class QueryGroupMSDA(nn.Module):
         # zero locations for slots without an allocated depth
         loc = jnp.where(ref_depth[:, :, None, None, None, :] > 0, loc, 0.0)
 
+        cap = (
+            capacity_override
+            if capacity_override is not None
+            else self.gather_capacity
+        )
+        if self.guard and not self.is_initializing():
+            valid_slots = ref_depth[..., 0] > 0  # [bs, q_total]
+            counts = valid_slots.reshape(bs * self.num_cams, k).sum(-1)
+            cap_eff = cap if cap is not None and cap < k else k
+            self.sow(
+                "guards", "msda_overflow",
+                jnp.maximum(jnp.max(counts) - cap_eff, 0).astype(
+                    jnp.float32
+                ),
+            )
+            if self.patch_mode:
+                stats = msda_window_stats(
+                    spatial_shapes, loc, attn,
+                    self.patch_hw[0], self.patch_hw[1],
+                    sel_levels=self.sel_levels, valid=valid_slots,
+                )
+                self.sow(
+                    "guards", "msda_window_clamped",
+                    stats["window_clamped"].sum(),
+                )
+                self.sow(
+                    "guards", "msda_window_clamped_mass",
+                    stats["window_clamped_mass"].sum(),
+                )
+                self.sow(
+                    "guards", "msda_level_dropped_mass",
+                    stats["level_dropped_mass"].max(),
+                )
+
         loc = loc.reshape(
             bs * self.num_cams, k, self.num_heads, self.num_levels,
             self.num_points, 2,
@@ -230,7 +270,9 @@ class QueryGroupMSDA(nn.Module):
                 patch_h=self.patch_hw[0], patch_w=self.patch_hw[1],
             )
         else:
-            sample_fn = msda
+            sample_fn = functools.partial(
+                msda, pair_table=pair_table, raw_heads=post_proj
+            )
 
         def project(sampled, wsum):
             # per-head projection of the raw sampled values + weight-
@@ -255,11 +297,6 @@ class QueryGroupMSDA(nn.Module):
             ) * bias_vec
             return out + corr
 
-        cap = (
-            capacity_override
-            if capacity_override is not None
-            else self.gather_capacity
-        )
         if cap is not None and cap < k:
             # valid-slot compaction: sample only slots with an allocated
             # depth, in slot order; scatter results back on the MXU

@@ -171,6 +171,7 @@ class SimPBHead(nn.Module):
                         gather_capacity=c.dfa_gather_capacity,
                         sel_levels=c.dfa_sel_levels or None,
                         level_capacity=c.dfa_level_capacity or None,
+                        guard=c.guard_sampling,
                         dtype=self.dtype,
                         name=f"op{i}_deformable",
                     )
@@ -219,6 +220,7 @@ class SimPBHead(nn.Module):
                         gather_capacity=c.msda_gather_capacity,
                         sel_levels=c.msda_sel_levels or None,
                         patch_hw=c.msda_patch_hw,
+                        guard=c.guard_sampling,
                         dtype=self.dtype,
                         name=f"op{i}_qg_cross_attn",
                     )

@@ -165,6 +165,150 @@ def _pair_bilinear(
     return wy0[..., None] * vx[0] + wy1[..., None] * vx[1]
 
 
+def _window_base(px, py, keep, ph, pw, hlim, wlim):
+    """Midrange-centred window base for patch-mode sampling.
+
+    Shared by the `msda_patch` cores and `msda_window_stats` so the
+    overflow guard mirrors the kernel's window placement exactly. The
+    window [base, base+p-1] covers every kept sample whenever the
+    spread (max - min) <= p-1 pixels — the tightest guarantee any
+    single window gives. Dropped (out-of-image, zero-weight) samples
+    are excluded so they don't drag the window; all-dropped queries
+    fall back to mid 0 (their output is zero regardless).
+    """
+    kb = keep > 0.0
+    big = jnp.float32(1e9)
+    mid_x = 0.5 * (
+        jnp.min(jnp.where(kb, px, big), -1)
+        + jnp.max(jnp.where(kb, px, -big), -1)
+    )
+    mid_y = 0.5 * (
+        jnp.min(jnp.where(kb, py, big), -1)
+        + jnp.max(jnp.where(kb, py, -big), -1)
+    )
+    base_x = jnp.clip(
+        jnp.round(mid_x - (pw - 1) / 2.0).astype(jnp.int32), 0, wlim - pw
+    )
+    base_y = jnp.clip(
+        jnp.round(mid_y - (ph - 1) / 2.0).astype(jnp.int32), 0, hlim - ph
+    )
+    return base_x, base_y
+
+
+def shrink_patch(patch_h: int, patch_w: int, h: int, w: int):
+    """Per-level window shrink used by `msda_patch`: the window never
+    exceeds the level, and its width stays even (pair fetches cover two
+    pixels)."""
+    ph = min(patch_h, h)
+    pw = min(patch_w, w)
+    pw = max(2, pw - (pw % 2))
+    return ph, pw
+
+
+def msda_window_stats(
+    spatial_shapes: SpatialShapes,
+    sampling_locations: jnp.ndarray,  # [B, Q, H, L, P, 2]
+    attention_weights: jnp.ndarray,  # [B, Q, H, L, P]
+    patch_h: int,
+    patch_w: int,
+    sel_levels: Optional[int] = None,
+    valid: Optional[jnp.ndarray] = None,  # [B, Q] bool
+):
+    """In-graph exactness guard for patch-mode MSDA (window + level
+    selection). Returns per-batch scalars:
+
+      window_clamped       — number of weight-bearing samples whose 2x2
+                             bilinear stencil is NOT fully served by the
+                             window (their value deviates from exact
+                             grid_sample); 0 ⇒ the window was exact.
+      window_clamped_mass  — total softmax attention mass on those
+                             samples (bounds the output deviation
+                             together with the feature range).
+      level_dropped_mass   — max over queries of the softmax mass on
+                             non-selected levels (0 when sel_levels is
+                             off); bounds the top-k level-selection
+                             deviation the same way.
+
+    Mirrors the window placement of `msda_patch` via the shared
+    `_window_base`/`shrink_patch` helpers. A stencil corner that lies
+    outside the IMAGE carries zero weight under grid_sample zero
+    padding and is therefore not counted (the window serves it exactly
+    by omission).
+    """
+    b, q = sampling_locations.shape[:2]
+    heads, num_levels, num_points = sampling_locations.shape[2:5]
+    n = heads * num_points
+    loc = sampling_locations.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, q, num_levels, n, 2
+    )
+    attw = attention_weights.transpose(0, 1, 3, 2, 4).reshape(
+        b, q, num_levels, n
+    ).astype(jnp.float32)
+    vmask = (
+        jnp.ones((b, q), jnp.float32)
+        if valid is None
+        else valid.astype(jnp.float32)
+    )
+
+    # level selection only engages when the full patch fits every level
+    # (msda_patch falls back to the exact all-level loop otherwise —
+    # mirror that here so the guard matches what actually ran)
+    patch_fits_all = all(
+        h_ >= patch_h and w_ >= patch_w and patch_w % 2 == 0
+        for h_, w_ in spatial_shapes.shapes
+    )
+    if sel_levels is not None and sel_levels < num_levels and patch_fits_all:
+        mass = attw.sum(-1)  # [B, Q, L]
+        _, lsel = jax.lax.top_k(mass, sel_levels)
+        sel_mask = jax.nn.one_hot(lsel, num_levels, dtype=jnp.float32).sum(
+            2
+        )  # [B, Q, L]
+        dropped = ((mass * (1.0 - sel_mask)).sum(-1) * vmask).max(-1)
+    else:
+        sel_mask = jnp.ones((b, q, num_levels), jnp.float32)
+        dropped = jnp.zeros((b,), jnp.float32)
+
+    count = jnp.zeros((b,), jnp.float32)
+    cmass = jnp.zeros((b,), jnp.float32)
+    for lvl in range(num_levels):
+        h_, w_ = spatial_shapes.shapes[lvl]
+        ph, pw = shrink_patch(patch_h, patch_w, h_, w_)
+        l = loc[:, :, lvl]
+        px = l[..., 0].astype(jnp.float32) * w_ - 0.5
+        py = l[..., 1].astype(jnp.float32) * h_ - 0.5
+        keep = (
+            (px > -1.0) & (px < w_) & (py > -1.0) & (py < h_)
+        ).astype(jnp.float32)
+        base_x, base_y = _window_base(px, py, keep, ph, pw, h_, w_)
+        x0 = jnp.floor(px).astype(jnp.int32)
+        y0 = jnp.floor(py).astype(jnp.int32)
+        bx = base_x[..., None]
+        by = base_y[..., None]
+        lost_x = (
+            ((x0 >= 0) & (x0 <= w_ - 1) & ((x0 < bx) | (x0 > bx + pw - 1)))
+            | ((x0 + 1 >= 0) & (x0 + 1 <= w_ - 1)
+               & ((x0 + 1 < bx) | (x0 + 1 > bx + pw - 1)))
+        )
+        lost_y = (
+            ((y0 >= 0) & (y0 <= h_ - 1) & ((y0 < by) | (y0 > by + ph - 1)))
+            | ((y0 + 1 >= 0) & (y0 + 1 <= h_ - 1)
+               & ((y0 + 1 < by) | (y0 + 1 > by + ph - 1)))
+        )
+        inexact = (
+            (lost_x | lost_y).astype(jnp.float32)
+            * keep
+            * vmask[:, :, None]
+            * sel_mask[:, :, lvl, None]
+        )  # [B, Q, n]
+        count = count + inexact.sum((1, 2))
+        cmass = cmass + (inexact * attw[:, :, lvl]).sum((1, 2))
+    return {
+        "window_clamped": count,
+        "window_clamped_mass": cmass,
+        "level_dropped_mass": dropped,
+    }
+
+
 def deformable_aggregation(
     col_feats: jnp.ndarray,
     spatial_shapes: SpatialShapes,
@@ -432,6 +576,8 @@ def msda(
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
     num_heads: Optional[int] = None,
+    pair_table: Optional[jnp.ndarray] = None,
+    raw_heads: bool = False,
 ) -> jnp.ndarray:
     """Multi-scale deformable attention sampling (one camera's values).
 
@@ -444,8 +590,21 @@ def msda(
         64-byte per-head rows).
       sampling_locations: [B, Q, heads, L, P, 2] normalised to (0, 1).
       attention_weights: [B, Q, heads, L, P] softmax weights.
+      pair_table: optional precomputed `make_pair_table` of the
+        flattened value so one table build serves several sampling
+        calls per frame (see `msda_patch` — the same sharing hook).
+      raw_heads: return `(sampled [B, Q, heads, C], wsum [B, Q, heads])`
+        BEFORE per-head channel masking, where `wsum` is each head's
+        total effective sampling weight (attention x in-image bilinear
+        mass). Sampling is linear in the value, so a caller sampling
+        RAW features can apply its value projection to the Q sampled
+        rows afterwards: `proj(sampled)` per head + `(wsum - 1) * bias`
+        reproduces sample-after-projection exactly (the correction
+        covers border samples whose bilinear mass < 1 under the
+        grid_sample zero padding). This makes the EXACT sampling path
+        shareable through one raw pair table, like the patch path.
 
-    Returns: [B, Q, C] in fp32.
+    Returns: [B, Q, C] in fp32 (or the raw_heads pair above).
     """
     b, total_hw, c = value.shape
     q = sampling_locations.shape[1]
@@ -471,16 +630,15 @@ def msda(
     # backward pass rather than stored. Per-level takes measured slightly
     # faster than one level-fused take here (each level's bilinear
     # combine pipelines with the next gather).
-    @jax.checkpoint
-    def sample_core(value_flat, loc, attw):
-        pair = make_pair_table(value_flat)
+    def sample_core(pair, loc, attw):
         batch_base = (jnp.arange(b, dtype=jnp.int32) * total_hw)[:, None]
-        out = jnp.zeros((b, q, c), jnp.float32)
+        acc = jnp.zeros((b, q, heads, c), jnp.float32)
+        acc_w = jnp.zeros((b, q, heads), jnp.float32)
         for lvl in range(num_levels):
             h_, w_ = spatial_shapes.shapes[lvl]
             start = spatial_shapes.start_indices[lvl]
             wx0, wx1, wy0, wy1, x0, y0, y1 = _corner_weights(
-                loc[:, :, lvl], h_, w_, value_flat.dtype, False
+                loc[:, :, lvl], h_, w_, pair.dtype, False
             )
             sx = jnp.clip(x0, 0, w_ - 1)
             row0 = batch_base + start + jnp.clip(y0, 0, h_ - 1) * w_ + sx
@@ -492,18 +650,30 @@ def msda(
             sampled = _pair_bilinear(vals, x0 == sx, wx0, wx1, wy0, wy1)
             sampled = sampled.reshape(b, q, heads, num_points, c)
             w_l = attw[:, :, :, lvl]
-            weighted = jnp.einsum(
+            acc = acc + jnp.einsum(
                 "bqhpc,bqhp->bqhc", sampled.astype(jnp.float32),
                 w_l.astype(jnp.float32),
             )
-            out = out + jnp.einsum(
-                "bqhc,hc->bqc", weighted, head_mask,
-                preferred_element_type=jnp.float32,
-            )
-        return out
+            if raw_heads:
+                # per-sample in-image bilinear mass (1 in the interior,
+                # tapering to 0 over the zero-padded border)
+                mass = (
+                    (wx0 + wx1).astype(jnp.float32)
+                    * (wy0 + wy1).astype(jnp.float32)
+                ).reshape(b, q, heads, num_points)
+                acc_w = acc_w + jnp.einsum(
+                    "bqhp,bqhp->bqh", w_l.astype(jnp.float32), mass
+                )
+        if raw_heads:
+            return acc, acc_w
+        return jnp.einsum(
+            "bqhc,hc->bqc", acc, head_mask,
+            preferred_element_type=jnp.float32,
+        )
 
-    return sample_core(
-        value.reshape(b * total_hw, c), loc, attention_weights
+    return _with_pair_table(
+        sample_core, pair_table,
+        value.reshape(b * total_hw, c), loc, attention_weights,
     )
 
 
@@ -592,11 +762,9 @@ def msda_patch(
         for lvl in range(num_levels):
             h_, w_ = spatial_shapes.shapes[lvl]
             start = spatial_shapes.start_indices[lvl]
-            # shrink the window on levels smaller than the patch; pair
-            # fetches cover 2 pixels, so the window width must be even
-            ph = min(patch_h, h_)
-            pw = min(patch_w, w_)
-            pw = max(2, pw - (pw % 2))
+            # shrink the window on levels smaller than the patch (pair
+            # fetches cover 2 pixels, so the window width stays even)
+            ph, pw = shrink_patch(patch_h, patch_w, h_, w_)
             l = loc[:, :, lvl]  # [B,Q,n,2]
             px = l[..., 0] * w_ - 0.5
             py = l[..., 1] * h_ - 0.5
@@ -605,31 +773,11 @@ def msda_patch(
             keep = (
                 (px > -1.0) & (px < w_) & (py > -1.0) & (py < h_)
             ).astype(jnp.float32)
-            # midrange centring: the window [base, base+p-1] covers every
-            # kept sample whenever the spread (max-min) <= p-1 pixels —
-            # the tightest guarantee any single window gives; mean
-            # centring (round 1) could miss by the full half-spread.
-            # Dropped (out-of-image, zero-weight) samples are excluded so
-            # they don't drag the window. All-dropped queries fall back
-            # to mid 0; their output is zero regardless.
-            kb = keep > 0.0
-            big = jnp.float32(1e9)
-            mid_x = 0.5 * (
-                jnp.min(jnp.where(kb, px, big), -1)
-                + jnp.max(jnp.where(kb, px, -big), -1)
-            )
-            mid_y = 0.5 * (
-                jnp.min(jnp.where(kb, py, big), -1)
-                + jnp.max(jnp.where(kb, py, -big), -1)
-            )
-            base_x = jnp.clip(
-                jnp.round(mid_x - (pw - 1) / 2.0).astype(jnp.int32),
-                0, w_ - pw,
+            # midrange-centred window (shared with the overflow guard —
+            # see `_window_base`)
+            base_x, base_y = _window_base(
+                px, py, keep, ph, pw, h_, w_
             )  # [B,Q]
-            base_y = jnp.clip(
-                jnp.round(mid_y - (ph - 1) / 2.0).astype(jnp.int32),
-                0, h_ - ph,
-            )
             # taper-clamp the UNCLAMPED sample into [base-1, base+p]:
             # corners are then computed at their true positions (exact
             # border semantics — corners outside the window or the image
@@ -761,22 +909,8 @@ def _msda_patch_sel(
         keep = (
             (px > -1.0) & (px < wwf) & (py > -1.0) & (py < hhf)
         ).astype(jnp.float32)
-        kb = keep > 0.0
-        big = jnp.float32(1e9)
-        mid_x = 0.5 * (
-            jnp.min(jnp.where(kb, px, big), -1)
-            + jnp.max(jnp.where(kb, px, -big), -1)
-        )  # [B, Q, k]
-        mid_y = 0.5 * (
-            jnp.min(jnp.where(kb, py, big), -1)
-            + jnp.max(jnp.where(kb, py, -big), -1)
-        )
-        base_x = jnp.clip(
-            jnp.round(mid_x - (pw - 1) / 2.0).astype(jnp.int32), 0, ww - pw
-        )
-        base_y = jnp.clip(
-            jnp.round(mid_y - (ph - 1) / 2.0).astype(jnp.int32), 0, hh - ph
-        )
+        # midrange-centred window (shared with the overflow guard)
+        base_x, base_y = _window_base(px, py, keep, ph, pw, hh, ww)
         ax = jnp.clip(
             px, base_x[..., None] - 1 + 1e-4, base_x[..., None] + pw - 1e-4
         )

@@ -59,7 +59,24 @@ def _jitted_steps(model, cfg, cam_mesh=None):
     if entry is not None and entry[0] is model:
         return entry[1], entry[2]
 
-    def _select(out):
+    guard = getattr(cfg.head, "guard_sampling", False)
+
+    def _apply(variables, img, proj, **kw):
+        """Run the model; with guard_sampling, also collect the sown
+        sampling-exactness counters (utils/guards.py) and attach their
+        per-frame maxima to the decode dict as `guard_*` entries
+        (broadcast to [bs] so downstream per-sample indexing works)."""
+        if guard:
+            from ..utils.guards import summarize_guards
+
+            out, mut = model.apply(
+                variables, img, proj, train=False, mutable=["guards"],
+                **kw,
+            )
+            gsum = summarize_guards(mut.get("guards", {}))
+        else:
+            out = model.apply(variables, img, proj, train=False, **kw)
+            gsum = None
         dec = decode_boxes3d(
             out["classification"][-1],
             out["prediction"][-1],
@@ -68,17 +85,19 @@ def _jitted_steps(model, cfg, cam_mesh=None):
             num_output=cfg.head.num_output,
             score_threshold=cfg.head.score_threshold,
         )
+        if gsum:
+            bs = out["prediction"][-1].shape[0]
+            for k, v in gsum.items():
+                dec["guard_" + k] = jnp.broadcast_to(v, (bs,))
         return dec, out["temporal_state"]
 
     def _cold(variables, img, proj):
-        return _select(model.apply(variables, img, proj, train=False))
+        return _apply(variables, img, proj)
 
     def _stream(variables, img, proj, state, dt, t2c):
-        return _select(
-            model.apply(
-                variables, img, proj, temporal=state, time_interval=dt,
-                temp2cur=t2c, train=False,
-            )
+        return _apply(
+            variables, img, proj, temporal=state, time_interval=dt,
+            temp2cur=t2c,
         )
 
     if cam_mesh is None:
@@ -139,6 +158,7 @@ def _stream_shard(
     gts: List[dict] = []
     tokens: List[str] = []
     scene_ids: List[int] = []
+    guard_max: Dict[str, float] = {}
     scene_no = 0
     vis_frames: List[np.ndarray] = []
     state = None
@@ -164,6 +184,11 @@ def _stream_shard(
         prev_ts, prev_t_global = ts, t_global
 
         dec = {k: np.asarray(v)[0] for k, v in dec.items()}
+        for k in list(dec):
+            if k.startswith("guard_"):
+                guard_max[k] = max(
+                    guard_max.get(k, 0.0), float(dec.pop(k))
+                )
         boxes_g = boxes_lidar_to_global(dec["boxes_3d"], t_global)
         valid = dec["valid"]
         # boxes are in the GLOBAL frame here: the class-range filter in
@@ -228,7 +253,7 @@ def _stream_shard(
         )
         print(f"wrote {len(vis_frames)}-frame video to {show_dir}")
 
-    return preds, gts, scene_ids, tokens
+    return preds, gts, scene_ids, tokens, guard_max
 
 
 def _score(preds, gts, scene_ids, tracking: bool) -> Dict[str, float]:
@@ -305,12 +330,14 @@ def streaming_eval(
     shard = sequence_eval_shards(dataset, world_size)[rank]
     if max_frames:
         shard = shard[:max_frames]
-    preds, gts, scene_ids, tokens = _stream_shard(
+    preds, gts, scene_ids, tokens, guard_max = _stream_shard(
         model, cfg, variables, dataset, shard,
         show_dir=show_dir, show_threshold=show_threshold,
         progress=progress, cam_mesh=cam_mesh,
     )
-    return _score(preds, gts, scene_ids, tracking), preds, tokens
+    metrics = _score(preds, gts, scene_ids, tracking)
+    metrics.update(guard_max)
+    return metrics, preds, tokens
 
 
 def multidevice_streaming_eval(
@@ -385,6 +412,7 @@ def multidevice_streaming_eval(
     gts: List[dict] = []
     tokens: List[str] = []
     scene_keys: List[Tuple[int, int]] = []
+    md_guard_max: Dict[str, float] = {}
     # per-slot host state
     prev_ts = [None] * n
     prev_tg = [None] * n
@@ -432,6 +460,11 @@ def multidevice_streaming_eval(
                 jax.device_put(t2c, batch_sh),
             )
         dec = {k: np.asarray(v) for k, v in dec.items()}
+        for k in list(dec):
+            if k.startswith("guard_"):
+                md_guard_max[k] = max(
+                    md_guard_max.get(k, 0.0), float(dec.pop(k).max())
+                )
 
         for s in range(n):
             live = t < len(shards[s])
@@ -484,7 +517,9 @@ def multidevice_streaming_eval(
             gts.append(gt_d)
             scene_keys.append(key)
             tokens.append(token)
-    return _score(preds, gts, scene_keys, tracking), preds, tokens
+    metrics = _score(preds, gts, scene_keys, tracking)
+    metrics.update(md_guard_max)
+    return metrics, preds, tokens
 
 
 def distributed_streaming_eval(
@@ -520,7 +555,7 @@ def distributed_streaming_eval(
     shard = sequence_eval_shards(dataset, world_size)[rank]
     if max_frames:
         shard = shard[:max_frames]
-    preds, gts, scene_ids, tokens = _stream_shard(
+    preds, gts, scene_ids, tokens, guard_max = _stream_shard(
         model, cfg, variables, dataset, shard, progress=progress
     )
     os.makedirs(tmpdir, exist_ok=True)
@@ -533,6 +568,7 @@ def distributed_streaming_eval(
                 # scene keys must stay distinct across ranks
                 "scene_ids": [(rank, s) for s in scene_ids],
                 "tokens": tokens,
+                "guard_max": guard_max,
             },
             f,
         )
@@ -546,10 +582,13 @@ def distributed_streaming_eval(
     if rank != 0:
         return None
 
+    from ..utils.guards import merge_guard_maxima
+
     all_preds: List[dict] = []
     all_gts: List[dict] = []
     all_scenes: List = []
     all_tokens: List[str] = []
+    all_guards: Dict[str, float] = {}
     for r in range(world_size):
         with open(os.path.join(tmpdir, f"part_{r}.pkl"), "rb") as f:
             payload = pickle.load(f)
@@ -557,5 +596,9 @@ def distributed_streaming_eval(
         all_gts.extend(payload["gts"])
         all_scenes.extend(payload["scene_ids"])
         all_tokens.extend(payload["tokens"])
+        all_guards = merge_guard_maxima(
+            all_guards, payload.get("guard_max", {})
+        )
     metrics = _score(all_preds, all_gts, all_scenes, tracking)
+    metrics.update(all_guards)
     return metrics, all_preds, all_tokens

@@ -69,10 +69,25 @@ def run_benchmark(cfg, window: int = 128, batch_size: int = 1) -> float:
             frame = jax.random.normal(
                 key, (bs, cams, h, w, 3), jnp.float32
             )
-            out = model.apply(
-                variables, frame, proj, temporal=carry, time_interval=dt,
-                temp2cur=t2c, train=False,
-            )
+            guard_probe = 0.0
+            if getattr(cfg.head, "guard_sampling", False):
+                # charge the in-graph exactness counters against the
+                # number — the guarded config's eval surface always
+                # computes them (training/evaluate.py)
+                from .guards import summarize_guards
+
+                out, mut = model.apply(
+                    variables, frame, proj, temporal=carry,
+                    time_interval=dt, temp2cur=t2c, train=False,
+                    mutable=["guards"],
+                )
+                for v in summarize_guards(mut.get("guards", {})).values():
+                    guard_probe = guard_probe + v
+            else:
+                out = model.apply(
+                    variables, frame, proj, temporal=carry,
+                    time_interval=dt, temp2cur=t2c, train=False,
+                )
             # charge the device-side decode (top-k + box decode) against
             # the number too — the reference's benchmark path runs
             # simple_test -> post_process (tools/benchmark.py:100-113);
@@ -85,7 +100,9 @@ def run_benchmark(cfg, window: int = 128, batch_size: int = 1) -> float:
                 num_output=cfg.head.num_output,
                 score_threshold=cfg.head.score_threshold,
             )
-            probe = dec["scores_3d"].max() + dec["boxes_3d"].sum()
+            probe = (
+                dec["scores_3d"].max() + dec["boxes_3d"].sum() + guard_probe
+            )
             return out["temporal_state"], probe
 
         return jax.lax.scan(body, state, keys)

@@ -13,6 +13,9 @@ import numpy as np
 
 from simpb_tpu.models.det3d_blocks import SparseBox3DRefinementModule
 from simpb_tpu.training.losses import sparse_box3d_loss
+import pytest
+
+pytestmark = pytest.mark.medium
 
 
 def test_refine3d_matches_numpy_oracle():

@@ -24,6 +24,9 @@ from simpb_tpu.training.train_step import (
 )
 
 from test_train_step import BS, make_batch, tiny_config
+import pytest
+
+pytestmark = pytest.mark.medium
 
 
 def _setup():

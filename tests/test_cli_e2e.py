@@ -14,6 +14,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 REPO = os.path.join(os.path.dirname(__file__), "..")
 SRC_H, SRC_W = 60, 100
 

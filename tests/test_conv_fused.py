@@ -19,6 +19,8 @@ from simpb_tpu.ops.conv_fused import (
     pick_tile_h,
 )
 
+pytestmark = pytest.mark.medium
+
 
 def _randomize_bn(v, rng):
     """Non-trivial BN stats so the fold is actually exercised."""

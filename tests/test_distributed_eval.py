@@ -11,6 +11,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from tests.test_cli_e2e import SRC_H, SRC_W, write_fake_dataset
+import pytest
+
+pytestmark = pytest.mark.medium
 
 
 def _build(cfg, fh, fw):

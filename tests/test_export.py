@@ -16,6 +16,9 @@ from simpb_tpu.utils.export import (
     temporal_to_tuple,
 )
 from simpb_tpu.utils.synthetic import synthetic_rig
+import pytest
+
+pytestmark = pytest.mark.medium
 
 
 def _setup():

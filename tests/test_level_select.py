@@ -16,6 +16,8 @@ import pytest
 from simpb_tpu.ops.format import SpatialShapes
 from simpb_tpu.ops.sampling import deformable_aggregation, msda_patch
 
+pytestmark = pytest.mark.medium
+
 SHAPES = SpatialShapes(((16, 24), (8, 12), (8, 10), (8, 8)))
 HW = sum(h * w for h, w in SHAPES.shapes)
 

@@ -15,6 +15,8 @@ from simpb_tpu.models.decoder3d import decode_boxes3d
 from simpb_tpu.models.detector import SimPB
 from simpb_tpu.models.instance_bank import TemporalState
 
+pytestmark = pytest.mark.heavy
+
 BS, CAMS = 2, 6
 IMG_W, IMG_H = 64, 32
 

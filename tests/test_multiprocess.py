@@ -19,6 +19,9 @@ import sys
 import tempfile
 
 from tests.test_cli_e2e import SRC_H, SRC_W, write_fake_dataset
+import pytest
+
+pytestmark = pytest.mark.heavy
 
 REPO = os.path.join(os.path.dirname(__file__), "..")
 # both ranks compile the identical train step: share a persistent

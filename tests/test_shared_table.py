@@ -19,8 +19,11 @@ from simpb_tpu.ops.format import SpatialShapes
 from simpb_tpu.ops.sampling import (
     deformable_aggregation,
     make_pair_table,
+    msda,
     msda_patch,
 )
+
+pytestmark = pytest.mark.medium
 
 SHAPES = SpatialShapes(((16, 24), (8, 12), (8, 10), (8, 8)))
 HW = sum(h * w for h, w in SHAPES.shapes)
@@ -105,17 +108,53 @@ def test_post_projection_equals_project_then_sample(border, sel):
     )
 
 
-def test_head_share_sampling_table_exact():
+def test_msda_exact_precomputed_table_bitwise():
+    rng = np.random.default_rng(3)
+    value, loc, w = _msda_inputs(rng)
+    table = make_pair_table(value.reshape(-1, value.shape[-1]))
+    a = msda(value, SHAPES, loc, w)
+    b = msda(value, SHAPES, loc, w, pair_table=table)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("border", [False, True])
+def test_post_projection_equals_project_then_sample_exact_msda(border):
+    """The raw_heads contract on the EXACT msda op: sample raw +
+    per-head projection + (wsum-1)*bias == project-then-sample (the
+    round-3 lever that lets the parity/guarded configs share one raw
+    pair table across all 7 sampling calls of a frame)."""
+    rng = np.random.default_rng(4)
+    c = 32
+    heads = 4
+    value, loc, w = _msda_inputs(rng, heads=heads, c=c, border=border)
+    W = jnp.asarray(rng.normal(size=(c, c)).astype(np.float32) * 0.1)
+    bvec = jnp.asarray(rng.normal(size=(c,)).astype(np.float32))
+
+    ref = msda(value @ W + bvec, SHAPES, loc, w)
+
+    sampled, wsum = msda(value, SHAPES, loc, w, raw_heads=True)
+    head_mask = jnp.repeat(jnp.eye(heads), c // heads, axis=1)
+    proj = sampled @ W  # [B, Q, H, C]
+    out = jnp.einsum("bqhc,hc->bqc", proj, head_mask)
+    out = out + jnp.einsum("bqh,hc->bqc", wsum, head_mask) * bvec
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("patch", [True, False])
+def test_head_share_sampling_table_exact(patch):
     """Eval forward with the shared table on vs off must match (patch
-    mode on so the MSDA post-projection path is exercised)."""
+    mode exercises the patch post-projection path; patch=False the
+    exact-msda raw_heads path)."""
     from simpb_tpu.models.detector import SimPB
 
     base = simpb_tiny()
     head_on = dataclasses.replace(
-        base.head, msda_patch_mode=True, share_sampling_table=True
+        base.head, msda_patch_mode=patch, share_sampling_table=True
     )
     head_off = dataclasses.replace(
-        base.head, msda_patch_mode=True, share_sampling_table=False
+        base.head, msda_patch_mode=patch, share_sampling_table=False
     )
     rng = jax.random.PRNGKey(0)
     cfg_on = dataclasses.replace(base, head=head_on)

@@ -11,6 +11,9 @@ import numpy as np
 from simpb_tpu.configs.base import HeadConfig, ModelConfig
 from simpb_tpu.models.detector import SimPB
 from simpb_tpu.models.instance_bank import TemporalState
+import pytest
+
+pytestmark = pytest.mark.medium
 
 BS, CAMS, T = 1, 6, 3
 IMG_W, IMG_H = 64, 32

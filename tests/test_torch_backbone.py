@@ -21,6 +21,8 @@ from simpb_tpu.configs.base import ModelConfig
 from simpb_tpu.models.backbone import FPN, DenseDepthNet, ResNet
 from simpb_tpu.utils.torch_convert import torch_to_flax
 
+pytestmark = pytest.mark.medium
+
 IMG_W, IMG_H = 64, 32
 
 

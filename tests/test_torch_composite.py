@@ -27,6 +27,8 @@ from simpb_tpu.utils.torch_convert import merge_params, torch_to_flax
 
 from torch_replica import HeadReplicaT, build_state_dict
 
+pytestmark = pytest.mark.heavy
+
 EMBED, HEADS, NUM_ANCHOR, NUM_CLS = 64, 4, 32, 10
 NUM_CAMS, NUM_LEVELS = 6, 4
 IMG_W, IMG_H = 64, 32

@@ -28,6 +28,8 @@ from test_torch_backbone import (
 )
 from torch_replica import HeadReplicaT, build_state_dict
 
+pytestmark = pytest.mark.heavy
+
 EMBED, HEADS, NUM_ANCHOR, NUM_CLS = 64, 4, 32, 10
 NUM_CAMS, NUM_LEVELS = 6, 4
 IMG_W, IMG_H = 64, 32

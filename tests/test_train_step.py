@@ -14,6 +14,8 @@ from simpb_tpu.training.train_step import (
     init_temporal,
 )
 
+pytestmark = pytest.mark.medium
+
 BS, CAMS, G, G2 = 1, 6, 8, 6
 IMG_W, IMG_H = 64, 32
 

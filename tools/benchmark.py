@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="r50-fast",
-                   choices=["r50", "r50-fast", "r101", "r101-fast", "tiny"])
+                   choices=["r50", "r50-fast", "r50-guarded", "r101",
+                            "r101-fast", "tiny"])
     p.add_argument("--exact", action="store_true",
                    help="force exact MSDA sampling (windowed off)")
     p.add_argument("--patch", action="store_true",
@@ -41,6 +42,17 @@ def parse_args():
                    help="frames per stream in the timed window")
     p.add_argument("--fp32", action="store_true",
                    help="disable the bf16 trunk/head (default bf16)")
+    p.add_argument("--guard", action="store_true",
+                   help="force guard_sampling on (in-graph exactness "
+                        "counters, charged against the number)")
+    p.add_argument("--no-remat", action="store_true",
+                   help="backbone_remat=False (serving A/B: remat is a "
+                        "training memory lever; at inference it should "
+                        "be free, measure to confirm)")
+    p.add_argument("--stem-s2d", action="store_true",
+                   help="space-to-depth stem (measured off at 704x256; "
+                        "PERF.md flags it as possibly relevant at "
+                        "1408x512)")
     return p.parse_args()
 
 
@@ -49,6 +61,7 @@ def main():
     from simpb_tpu.configs.base import (
         simpb_r50_704x256,
         simpb_r50_704x256_fast,
+        simpb_r50_704x256_guarded,
         simpb_r101_1408x512,
         simpb_r101_1408x512_fast,
         simpb_tiny,
@@ -58,10 +71,15 @@ def main():
     cfg = {
         "r50": simpb_r50_704x256,
         "r50-fast": simpb_r50_704x256_fast,
+        "r50-guarded": simpb_r50_704x256_guarded,
         "r101": simpb_r101_1408x512,
         "r101-fast": simpb_r101_1408x512_fast,
         "tiny": simpb_tiny,
     }[args.config]()
+    if args.no_remat:
+        cfg = dataclasses.replace(cfg, backbone_remat=False)
+    if args.stem_s2d:
+        cfg = dataclasses.replace(cfg, stem_s2d=True)
     if not args.fp32:
         cfg = dataclasses.replace(
             cfg, compute_dtype="bfloat16", head_dtype="bfloat16"
@@ -85,6 +103,8 @@ def main():
         head = dataclasses.replace(
             head, msda_patch_hw=tuple(args.msda_window)
         )
+    if args.guard:
+        head = dataclasses.replace(head, guard_sampling=True)
     cfg = dataclasses.replace(cfg, head=head)
 
     fps = run_benchmark(cfg, window=args.frames, batch_size=args.batch_size)

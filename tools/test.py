@@ -37,8 +37,8 @@ def parse_args():
     p.add_argument("--ann-file", required=True)
     p.add_argument("--data-root", default="")
     p.add_argument("--config", default="r50",
-                   choices=["r50", "r50-fast", "r101", "r101-fast",
-                            "tiny"])
+                   choices=["r50", "r50-fast", "r50-guarded", "r101",
+                            "r101-fast", "tiny"])
     p.add_argument("--src-h", type=int, default=900)
     p.add_argument("--src-w", type=int, default=1600)
     p.add_argument("--checkpoint", default=None)
@@ -62,6 +62,11 @@ def parse_args():
     p.add_argument("--fused-trunk", action="store_true",
                    help="fused Pallas bottleneck trunk (inference-only, "
                         "BN-folded numerics; ops/conv_fused.py)")
+    p.add_argument("--draft-decode", action="store_true",
+                   help="DCT-domain scaled JPEG decode (libjpeg n/8): "
+                        "~2x cheaper host decode at nuScenes scales; "
+                        "slightly different downscale filter chain, so "
+                        "checkpoint-parity evals leave it off")
     p.add_argument("--head-bf16", action="store_true",
                    help="run the decoder head in bfloat16 like bench.py "
                         "(~1.2x end-to-end; default keeps the head fp32, "
@@ -93,6 +98,7 @@ def main():
         simpb_r101_1408x512,
         simpb_r50_704x256,
         simpb_r50_704x256_fast,
+        simpb_r50_704x256_guarded,
         simpb_r101_1408x512_fast,
         simpb_tiny,
     )
@@ -102,6 +108,7 @@ def main():
     from simpb_tpu.training.evaluate import streaming_eval
 
     cfg = {"r50": simpb_r50_704x256, "r50-fast": simpb_r50_704x256_fast,
+           "r50-guarded": simpb_r50_704x256_guarded,
            "r101": simpb_r101_1408x512,
            "r101-fast": simpb_r101_1408x512_fast,
            "tiny": simpb_tiny}[args.config]()
@@ -128,6 +135,7 @@ def main():
     dataset = NuScenesDataset(
         args.ann_file, data_root=args.data_root, test_mode=True,
         data_aug_conf=aug_conf, sequences_split_num=1,
+        draft_decode=args.draft_decode,
     )
 
     model = SimPB(cfg)
