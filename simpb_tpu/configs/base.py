@@ -253,6 +253,25 @@ def simpb_r50_704x256_guarded() -> ModelConfig:
     return ModelConfig(head=head)
 
 
+def simpb_r50_704x256_fast_guarded() -> ModelConfig:
+    """The flagship fast config with the exactness guard on.
+
+    Unlike `simpb_r50_704x256_guarded` (exact ops, ~40 fps), this keeps
+    the windowed/level-selected sampling (~77 fps) and makes its
+    deviation OBSERVABLE per frame: evals report cap overflow, the
+    number of window-clamped samples, the attention mass they carry,
+    and the dropped top-k level mass. Counters at 0 certify the frame
+    was served with bit-exact sampling; nonzero counters bound the
+    deviation (mass x feature range). Use to serve converted
+    checkpoints at full speed with a measured — not assumed — accuracy
+    posture (PERF.md "Semantics posture").
+    """
+    base = simpb_r50_704x256_fast()
+    return dataclasses.replace(
+        base, head=dataclasses.replace(base.head, guard_sampling=True)
+    )
+
+
 def simpb_r101_1408x512() -> ModelConfig:
     """The high-res R101 configuration (README.md:29; no released cfg)."""
     return ModelConfig(

@@ -205,3 +205,50 @@ def test_guarded_config_constructs():
     assert not cfg.head.msda_patch_mode  # exact semantics
     assert cfg.head.msda_gather_capacity == 208
     assert cfg.head.dfa_gather_capacity == 2304
+
+
+def test_fast_guarded_config_constructs():
+    from simpb_tpu.configs.base import simpb_r50_704x256_fast_guarded
+
+    cfg = simpb_r50_704x256_fast_guarded()
+    assert cfg.head.guard_sampling and cfg.head.msda_patch_mode
+    assert cfg.head.msda_sel_levels == 2
+
+
+def test_streaming_eval_surfaces_guard_metrics(tmp_path):
+    """The eval surface must report the counters: streaming_eval on a
+    guarded tiny config returns guard_* keys in its metrics dict."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tests.test_cli_e2e import SRC_H, SRC_W, write_fake_dataset
+
+    from simpb_tpu.data.dataset import NuScenesDataset
+    from simpb_tpu.models.detector import SimPB
+    from simpb_tpu.training.evaluate import streaming_eval
+
+    base = simpb_tiny()
+    cfg = dataclasses.replace(
+        base, head=dataclasses.replace(base.head, guard_sampling=True)
+    )
+    fw, fh = cfg.input_size
+    pkl = write_fake_dataset(tmp_path, n_frames=2)
+    aug = {
+        "resize_lim": (0.4, 0.47), "final_dim": (fh, fw),
+        "bot_pct_lim": (0.0, 0.0), "rot_lim": (0, 0),
+        "H": SRC_H, "W": SRC_W, "rand_flip": False,
+        "rot3d_range": [0, 0],
+    }
+    dataset = NuScenesDataset(
+        pkl, test_mode=True, data_aug_conf=aug, sequences_split_num=1
+    )
+    model = SimPB(cfg)
+    img0 = jnp.zeros((1, 6, fh, fw, 3), jnp.float32)
+    proj0 = jnp.tile(jnp.eye(4)[None, None], (1, 6, 1, 1))
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), img0, proj0,
+                           train=False)
+    )()
+    metrics, _, _ = streaming_eval(model, cfg, variables, dataset)
+    assert "guard_dfa_overflow" in metrics
+    assert "guard_msda_overflow" in metrics
+    assert metrics["guard_dfa_overflow"] == 0.0

@@ -21,7 +21,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="r50-fast",
-                   choices=["r50", "r50-fast", "r50-guarded", "r101",
+                   choices=["r50", "r50-fast", "r50-guarded",
+                            "r50-fast-guarded", "r101",
                             "r101-fast", "tiny"])
     p.add_argument("--exact", action="store_true",
                    help="force exact MSDA sampling (windowed off)")
@@ -62,6 +63,7 @@ def main():
         simpb_r50_704x256,
         simpb_r50_704x256_fast,
         simpb_r50_704x256_guarded,
+        simpb_r50_704x256_fast_guarded,
         simpb_r101_1408x512,
         simpb_r101_1408x512_fast,
         simpb_tiny,
@@ -72,6 +74,7 @@ def main():
         "r50": simpb_r50_704x256,
         "r50-fast": simpb_r50_704x256_fast,
         "r50-guarded": simpb_r50_704x256_guarded,
+        "r50-fast-guarded": simpb_r50_704x256_fast_guarded,
         "r101": simpb_r101_1408x512,
         "r101-fast": simpb_r101_1408x512_fast,
         "tiny": simpb_tiny,
