@@ -167,6 +167,9 @@ def main():
     ap.add_argument("--eval-frames", type=int, default=24)
     ap.add_argument("--log-interval", type=int, default=20)
     ap.add_argument("--sigterm-frac", type=float, default=0.5)
+    ap.add_argument("--draft", action="store_true",
+                    help="train with --draft-decode (scaled JPEG "
+                         "decode) — the host-bound 1-core lever")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -186,6 +189,8 @@ def main():
         "--eval-interval", str(eval_interval),
         "--eval-frames", str(args.eval_frames),
     ]
+    if args.draft:
+        base_cmd.append("--draft-decode")
 
     sig_at = int(args.steps * args.sigterm_frac)
     print(f"[soak] phase 1: 0 -> SIGTERM@~{sig_at}", flush=True)

@@ -46,6 +46,11 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--src-h", type=int, default=900)
     p.add_argument("--src-w", type=int, default=1600)
+    p.add_argument("--draft-decode", action="store_true",
+                   help="DCT-domain scaled JPEG decode (libjpeg n/8 "
+                        "via PIL draft) when the scale divides the "
+                        "source dims exactly — halves the dominant "
+                        "host decode cost (PERF.md host pipeline)")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--load-from", default=None,
                    help="torch .pth or orbax checkpoint to initialise from")
@@ -134,6 +139,7 @@ def main():
         data_aug_conf=aug_conf,
         sequences_split_num=2,
         strides=cfg.strides[: cfg.num_depth_layers],
+        draft_decode=args.draft_decode,
     )
     # `--batch-size` is per device (reference config:9 trains 4 per GPU).
     # The host pipeline must feed the full per-PROCESS batch each step —
@@ -304,6 +310,7 @@ def main():
                 test_mode=True,
                 data_aug_conf=eval_conf,
                 sequences_split_num=1,
+                draft_decode=args.draft_decode,
             )
         eval_vars = {
             "params": cur_state.params,
