@@ -28,23 +28,43 @@ SRC_H, SRC_W = 900, 1600
 CHIP_FPS = 76.9  # PERF.md flagship
 
 
-def make_dataset(tmp, n_frames, use_native, jpeg=True, draft=False):
+def _paint_image(rng, realistic: bool) -> np.ndarray:
+    """Noise (ADVERSARIAL decode bound: q90 noise is ~1.5 MB and
+    Huffman-entropy-bound, so even DCT-scaled decode stays slow) or a
+    realistic-entropy proxy (smooth gradient + structures + mild
+    noise, ~170 KB — the regime real camera JPEGs decode in)."""
+    if not realistic:
+        return rng.integers(0, 255, (SRC_H, SRC_W, 3)).astype(np.uint8)
+    y, x = np.mgrid[0:SRC_H, 0:SRC_W]
+    img = np.stack(
+        [120 + 60 * y / SRC_H + 10 * np.sin(x / 40),
+         110 + 50 * y / SRC_H, 100 + 40 * y / SRC_H], -1
+    )
+    for _ in range(40):
+        x0 = rng.integers(0, SRC_W - 128)
+        y0 = rng.integers(SRC_H // 3, SRC_H - 128)
+        w, h = rng.integers(30, 120, 2)
+        img[y0:y0 + h, x0:x0 + w] = rng.integers(0, 255, 3)
+    return np.clip(img + rng.normal(0, 3, img.shape), 0, 255).astype(
+        np.uint8
+    )
+
+
+def make_dataset(tmp, n_frames, use_native, jpeg=True, draft=False,
+                 realistic=False):
     import pickle
 
     from PIL import Image
 
     rng = np.random.default_rng(0)
-    # a few distinct images re-referenced across frames: decode cost is
-    # content-independent, and this keeps setup time short
+    # a few distinct images re-referenced across frames keep setup short
     paths = []
     for c in range(6):
         ext = "jpg" if jpeg else "png"
         p = os.path.join(tmp, f"cam{c}.{ext}")
-        Image.fromarray(
-            rng.integers(0, 255, (SRC_H, SRC_W, 3)).astype(np.uint8)
-        ).save(p, quality=90) if jpeg else Image.fromarray(
-            rng.integers(0, 255, (SRC_H, SRC_W, 3)).astype(np.uint8)
-        ).save(p)
+        Image.fromarray(_paint_image(rng, realistic)).save(
+            p, **(dict(quality=90) if jpeg else {})
+        )
         paths.append(p)
     infos = []
     for i in range(n_frames):
@@ -114,15 +134,19 @@ def main():
                          "via PIL draft): decode 1600x900 directly at "
                          "1/2 — the dominant-cost lever (VERDICT r2 "
                          "weak #6)")
+    ap.add_argument("--realistic", action="store_true",
+                    help="realistic-entropy JPEGs (~170 KB) instead of "
+                         "the adversarial noise bound (~1.5 MB)")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as tmp:
         ds = make_dataset(
-            tmp, args.frames, use_native=not args.pil, draft=args.draft
+            tmp, args.frames, use_native=not args.pil, draft=args.draft,
+            realistic=args.realistic,
         )
 
         # decode-only baseline (PIL JPEG decode of 6 cams, same dtype
-        # the measured path feeds downstream)
+        # and scale hint the measured path feeds downstream)
         dt = np.float32 if args.pil else np.uint8
         t0 = time.perf_counter()
         for _ in range(10):
@@ -130,6 +154,7 @@ def main():
                 [ds.data_infos[0]["cams"][f"CAM{c}"]["data_path"]
                  for c in range(6)],
                 dtype=dt,
+                scale_hint=0.44 if args.draft else None,
             )
         decode_ms = (time.perf_counter() - t0) / 10 * 1e3
 
@@ -142,6 +167,7 @@ def main():
         path = "PIL(parity)" if args.pil else (
             "native(C++)+draft" if args.draft else "native(C++)"
         )
+        path += " [realistic]" if args.realistic else " [noise bound]"
         fps = 1e3 / total_ms
         print(f"path={path}")
         print(f"  JPEG decode (6 cams):     {decode_ms:7.1f} ms/frame")
