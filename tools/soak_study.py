@@ -48,15 +48,28 @@ def write_soak_dataset(out_dir: str, n_frames: int, seq_len: int = 8):
 
     rng = np.random.default_rng(0)
     os.makedirs(out_dir, exist_ok=True)
-    # a handful of distinct images cycled across frames: decode cost is
-    # content-independent; generating 6*n_frames full-res JPEGs is not
+    # a handful of distinct images cycled across frames (generating
+    # 6*n_frames full-res JPEGs is pointless); realistic-entropy
+    # content (~170 KB files), NOT noise — noise JPEGs are an
+    # adversarial decode bound ~3x the real camera cost (PERF.md
+    # "Host data pipeline"), which would skew the s/iter statistics
+    # this study exists to measure
+    y, x = np.mgrid[0:SRC_H, 0:SRC_W]
     paths = []
     for c in range(12):
         p = os.path.join(out_dir, f"cam{c}.jpg")
         if not os.path.exists(p):
-            Image.fromarray(
-                rng.integers(0, 255, (SRC_H, SRC_W, 3)).astype(np.uint8)
-            ).save(p, quality=90)
+            img = np.stack(
+                [120 + 60 * y / SRC_H + 10 * np.sin(x / 40 + c),
+                 110 + 50 * y / SRC_H, 100 + 40 * y / SRC_H], -1
+            )
+            for _ in range(40):
+                x0 = rng.integers(0, SRC_W - 128)
+                y0 = rng.integers(SRC_H // 3, SRC_H - 128)
+                w, h = rng.integers(30, 120, 2)
+                img[y0:y0 + h, x0:x0 + w] = rng.integers(0, 255, 3)
+            img = np.clip(img + rng.normal(0, 3, img.shape), 0, 255)
+            Image.fromarray(img.astype(np.uint8)).save(p, quality=90)
         paths.append(p)
     infos = []
     for i in range(n_frames):
