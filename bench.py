@@ -32,6 +32,10 @@ def main():
         # counters (checked exactness); the counters run in-graph and
         # are charged against the number (utils/benchmark.py)
         base = simpb_r50_704x256_guarded()
+    elif os.environ.get("SIMPB_FAST_GUARDED"):
+        from simpb_tpu.configs.base import simpb_r50_704x256_fast_guarded
+
+        base = simpb_r50_704x256_fast_guarded()
     elif os.environ.get("SIMPB_EXACT"):
         base = simpb_r50_704x256()
     else:

@@ -303,10 +303,18 @@ class NuScenesDataset:
                 # resize_eff = resize * k (csrc/preprocess.cpp:31-45),
                 # and the intrinsic update below stays in the ORIGINAL
                 # resize semantics (final geometry unchanged)
-                src_w = (self.data_aug_conf or {}).get(
-                    "W", img.shape[1]
-                )
-                k = src_w / img.shape[1]
+                # k-compensation only applies to draft-decoded sources
+                # (DCT-scaled JPEGs arrive at a reduced width); with
+                # draft decode off the image is full-size and resize
+                # applies as-is — do not let a mismatched configured W
+                # silently rescale the aug
+                if self.draft_decode:
+                    src_w = (self.data_aug_conf or {}).get(
+                        "W", img.shape[1]
+                    )
+                    k = src_w / img.shape[1]
+                else:
+                    k = 1.0
                 aug_i = (
                     dict(aug, resize=aug.get("resize", 1.0) * k)
                     if k != 1.0

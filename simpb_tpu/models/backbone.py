@@ -23,6 +23,11 @@ import jax.numpy as jnp
 ModuleDef = Any
 
 RESNET_STAGE_BLOCKS = {
+    # depth 26 = one bottleneck per stage: not a reference config —
+    # exists for sharding dryruns/CI where compile time matters and the
+    # trunk only needs to produce the 4-level pyramid (same structure,
+    # 1/4 the blocks; see __graft_entry__.py::dryrun_multichip)
+    26: (1, 1, 1, 1),
     50: (3, 4, 6, 3),
     101: (3, 4, 23, 3),
 }

@@ -221,9 +221,17 @@ def msda_window_stats(
                              bilinear stencil is NOT fully served by the
                              window (their value deviates from exact
                              grid_sample); 0 ⇒ the window was exact.
-      window_clamped_mass  — total softmax attention mass on those
-                             samples (bounds the output deviation
-                             together with the feature range).
+      window_clamped_mass  — softmax attention mass on those samples,
+                             weighted by the LOST corners' bilinear
+                             weight fraction (a lost corner with ~0
+                             bilinear weight contributes ~0); together
+                             with the feature range this bounds the
+                             output deviation. Note the bound is still
+                             conservative in one direction: slots
+                             already dropped by the gather-capacity
+                             overflow counter are counted here too, so
+                             the two guards can double-report the same
+                             mass.
       level_dropped_mass   — max over queries of the softmax mass on
                              non-selected levels (0 when sel_levels is
                              off); bounds the top-k level-selection
@@ -284,24 +292,28 @@ def msda_window_stats(
         y0 = jnp.floor(py).astype(jnp.int32)
         bx = base_x[..., None]
         by = base_y[..., None]
-        lost_x = (
-            ((x0 >= 0) & (x0 <= w_ - 1) & ((x0 < bx) | (x0 > bx + pw - 1)))
-            | ((x0 + 1 >= 0) & (x0 + 1 <= w_ - 1)
-               & ((x0 + 1 < bx) | (x0 + 1 > bx + pw - 1)))
-        )
-        lost_y = (
-            ((y0 >= 0) & (y0 <= h_ - 1) & ((y0 < by) | (y0 > by + ph - 1)))
-            | ((y0 + 1 >= 0) & (y0 + 1 <= h_ - 1)
-               & ((y0 + 1 < by) | (y0 + 1 > by + ph - 1)))
-        )
-        inexact = (
-            (lost_x | lost_y).astype(jnp.float32)
-            * keep
-            * vmask[:, :, None]
-            * sel_mask[:, :, lvl, None]
-        )  # [B, Q, n]
+        fx = px - x0.astype(jnp.float32)
+        fy = py - y0.astype(jnp.float32)
+        # per-corner bilinear weights and lost-corner test: a corner is
+        # "lost" when it is inside the IMAGE (so grid_sample would read
+        # it) but outside the WINDOW (so the patch path cannot). The
+        # clamped mass is weighted by the lost corners' bilinear-weight
+        # fraction — a corner with ~0 bilinear weight contributes ~0 to
+        # the deviation bound even though the stencil is formally
+        # clamped (tightens the bound vs counting the full attw).
+        lost_w = jnp.zeros_like(px)
+        for cx, wx_ in ((x0, 1.0 - fx), (x0 + 1, fx)):
+            in_x = (cx >= 0) & (cx <= w_ - 1)
+            out_x = (cx < bx) | (cx > bx + pw - 1)
+            for cy, wy_ in ((y0, 1.0 - fy), (y0 + 1, fy)):
+                in_y = (cy >= 0) & (cy <= h_ - 1)
+                out_y = (cy < by) | (cy > by + ph - 1)
+                lost_c = in_x & in_y & (out_x | out_y)
+                lost_w = lost_w + lost_c.astype(jnp.float32) * wx_ * wy_
+        gate = keep * vmask[:, :, None] * sel_mask[:, :, lvl, None]
+        inexact = (lost_w > 0).astype(jnp.float32) * gate  # [B, Q, n]
         count = count + inexact.sum((1, 2))
-        cmass = cmass + (inexact * attw[:, :, lvl]).sum((1, 2))
+        cmass = cmass + (lost_w * gate * attw[:, :, lvl]).sum((1, 2))
     return {
         "window_clamped": count,
         "window_clamped_mass": cmass,

@@ -63,3 +63,25 @@ def merge_guard_maxima(
     for k, v in b.items():
         out[k] = max(out.get(k, 0.0), float(v))
     return out
+
+
+def check_guard_violations(metrics: Dict[str, float]) -> list:
+    """Names of `guard_*` metric entries whose maxima are nonzero.
+
+    Nonzero means at least one frame's sampling deviated from the exact
+    semantics the guarded configs promise (configs/base.py:
+    `simpb_r50_704x256_guarded` — "the guard counters prove it per
+    frame"). Callers surfacing eval metrics should treat a non-empty
+    return as a contract violation: `tools/test.py` exits nonzero on
+    it. NaN maxima (no frames evaluated) are not violations.
+    """
+    import math
+
+    return sorted(
+        k
+        for k, v in metrics.items()
+        if k.startswith("guard_")
+        and v is not None
+        and not math.isnan(float(v))
+        and float(v) != 0.0
+    )

@@ -205,8 +205,9 @@ def test_pad_sample_contract(tmp_path):
         "bot_pct_lim": (0.0, 0.0), "rot_lim": (0, 0), "H": 60, "W": 100,
         "rand_flip": False, "rot3d_range": [0, 0],
     })
-    # stub image loading (files don't exist)
-    ds.load_images = lambda paths, dtype=np.float32: [
+    # stub image loading (files don't exist); signature mirrors
+    # dataset.load_images incl. the draft-decode scale_hint kwarg
+    ds.load_images = lambda paths, dtype=np.float32, scale_hint=None: [
         np.zeros((60, 100, 3), dtype) for _ in paths
     ]
     rng = np.random.default_rng(0)

@@ -252,3 +252,36 @@ def test_streaming_eval_surfaces_guard_metrics(tmp_path):
     assert "guard_dfa_overflow" in metrics
     assert "guard_msda_overflow" in metrics
     assert metrics["guard_dfa_overflow"] == 0.0
+
+
+def test_check_guard_violations_and_cli_enforcement(capsys):
+    """Nonzero guard maxima must fail loudly (VERDICT round-3 item 8):
+    `check_guard_violations` flags them and `tools/test.py`'s
+    `enforce_guards` turns them into a WARNING + exit code 3."""
+    import math
+
+    from simpb_tpu.utils.guards import check_guard_violations
+
+    clean = {"mAP": 0.4, "guard_dfa_overflow": 0.0,
+             "guard_msda_overflow": 0.0,
+             "guard_msda_window_clamped": float("nan")}
+    assert check_guard_violations(clean) == []
+    dirty = dict(clean, guard_dfa_overflow=7.0,
+                 guard_msda_window_clamped_mass=0.25)
+    assert check_guard_violations(dirty) == [
+        "guard_dfa_overflow", "guard_msda_window_clamped_mass"
+    ]
+
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "simpb_test_cli",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "test.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.enforce_guards(clean) == 0
+    assert mod.enforce_guards(dirty) == 3
+    err = capsys.readouterr().err
+    assert "guard violated" in err and "guard_dfa_overflow=7" in err

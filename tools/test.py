@@ -32,6 +32,30 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def enforce_guards(metrics) -> int:
+    """Exit code for sampling-exactness guard violations (0 = ok).
+
+    Guarded configs promise provable exactness (configs/base.py::
+    simpb_r50_704x256_guarded): a nonzero `guard_*` maximum means a
+    frame exceeded a static cap and its outputs deviated from the exact
+    semantics — fail loudly (exit 3) instead of silently reporting
+    metrics the contract says should not be trusted.
+    """
+    from simpb_tpu.utils.guards import check_guard_violations
+
+    violated = check_guard_violations(metrics)
+    if not violated:
+        return 0
+    print(
+        "WARNING: sampling-exactness guard violated: "
+        + ", ".join(f"{k}={float(metrics[k]):g}" for k in violated)
+        + " — outputs deviated from exact semantics; raise the "
+        "capacity caps or use the exact config",
+        file=sys.stderr,
+    )
+    return 3
+
+
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--ann-file", required=True)
@@ -256,6 +280,10 @@ def main():
          for k, v in metrics.items()},
         indent=1,
     ))
+
+    rc = enforce_guards(metrics)
+    if rc:
+        sys.exit(rc)
 
     if args.out:
         sub = format_nuscenes_submission(
