@@ -36,6 +36,12 @@ def main():
         from simpb_tpu.configs.base import simpb_r50_704x256_fast_guarded
 
         base = simpb_r50_704x256_fast_guarded()
+    elif os.environ.get("SIMPB_HYBRID"):
+        # value-exact serving path for exact-trained checkpoints
+        # (windowed sampling + exact correction lane; configs/base.py)
+        from simpb_tpu.configs.base import simpb_r50_704x256_hybrid
+
+        base = simpb_r50_704x256_hybrid()
     elif os.environ.get("SIMPB_EXACT"):
         base = simpb_r50_704x256()
     else:
@@ -53,6 +59,10 @@ def main():
     if os.environ.get("SIMPB_MSDA_CAP"):
         head = dataclasses.replace(
             head, msda_gather_capacity=int(os.environ["SIMPB_MSDA_CAP"])
+        )
+    if os.environ.get("SIMPB_CLAMP_CAP"):
+        head = dataclasses.replace(
+            head, msda_clamp_capacity=int(os.environ["SIMPB_CLAMP_CAP"])
         )
     cfg = dataclasses.replace(cfg, head=head)
     if os.environ.get("SIMPB_FUSED_TRUNK"):

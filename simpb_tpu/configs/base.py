@@ -67,6 +67,16 @@ class HeadConfig:
     # sample spread <= 7 px exactly; 6x6 trades ~+0.5 ms/frame for a
     # tighter clamp (measured, PERF.md — opt-in)
     msda_patch_hw: Tuple[int, int] = (8, 8)
+    # hybrid exact MSDA (ops/sampling.py::msda_hybrid): windowed
+    # sampling + an exact correction lane over window-clamped
+    # (query, level) entries. Value-exact (up to fp reassociation)
+    # while the per-camera clamped-entry demand fits
+    # `msda_clamp_capacity`; `guard_sampling` surfaces the overflow
+    # per frame. The serving path for checkpoints trained under EXACT
+    # semantics (converted torch checkpoints). Overrides
+    # msda_patch_mode; msda_sel_levels does not apply.
+    msda_hybrid_mode: bool = False
+    msda_clamp_capacity: int = 128
     # build ONE raw pair table per eval frame shared by every sampling
     # call (DFA directly; patch-mode MSDA via post-sampling value
     # projection — exact, see ops/sampling.py). Training always
@@ -247,6 +257,49 @@ def simpb_r50_704x256_guarded() -> ModelConfig:
     """
     head = HeadConfig(
         msda_gather_capacity=208,
+        dfa_gather_capacity=2304,
+        guard_sampling=True,
+    )
+    return ModelConfig(head=head)
+
+
+def simpb_r50_704x256_hybrid() -> ModelConfig:
+    """Value-exact serving at near-fast speed for EXACT-trained
+    checkpoints (the converted-torch-checkpoint scenario).
+
+    The round-3 cross-semantics study measured the two prior options'
+    costs: serving an exact-trained checkpoint under the fast window
+    loses 0.094 mAP, and the fully exact guarded config reaches only
+    ~40 fps. This config takes the third door
+    (ops/sampling.py::msda_hybrid): the 2D cross-attention samples
+    through the 8x8 windows, and the minority of (query, level) entries
+    whose learned offsets reach beyond their window are re-sampled
+    through the exact row-pair lane (static `msda_clamp_capacity` per
+    camera, highest lost-attention-mass first). While the per-frame
+    counters are zero the outputs equal the exact semantics up to fp
+    reassociation (~1e-4 — same tolerance class as the shared sampling
+    table, PARITY.md deviation 6); DFA stays fully exact at the
+    measured-max cap. Guard counters surfaced per eval:
+    `msda_overflow` / `dfa_overflow` (cap demand),
+    `msda_clamp_overflow` (correction-lane overflow — nonzero means
+    value-exactness broke) and `msda_clamp_demand` (headroom stat).
+
+    Measured (round 4, PERF.md): 47.4 fps at this capacity (guarded
+    exact 38.8, fast 76.5); on the medium-rig exact-trained checkpoint
+    the hybrid fully recovers the 0.094 mAP the fast window loses
+    (0.9639 vs exact 0.9627, `studies/finetune_recovery.json`). Set
+    the capacity from measured day-0 demand (`guard_msda_clamp_demand`
+    with the real converted checkpoint); when demand is near-total
+    (the medium-rig study's regime), prefer `_guarded` — the full-
+    correction cap-832 point benches at 32.6 fps, below guarded-exact.
+    Match: ops/src/deformable_aggregation_cuda.cu:129-187 + mmcv MSDA
+    (reference models/group_attn.py:229-232) — value semantics
+    preserved while cutting gather rows.
+    """
+    head = HeadConfig(
+        msda_gather_capacity=208,
+        msda_hybrid_mode=True,
+        msda_clamp_capacity=256,
         dfa_gather_capacity=2304,
         guard_sampling=True,
     )

@@ -27,7 +27,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.format import SpatialShapes
-from ..ops.sampling import msda, msda_patch, msda_window_stats
+from ..ops.sampling import (
+    msda,
+    msda_clamp_demand,
+    msda_hybrid,
+    msda_patch,
+    msda_window_stats,
+)
 from .layers import MultiheadAttention
 
 
@@ -138,6 +144,13 @@ class QueryGroupMSDA(nn.Module):
     # per-(query, level) sample spread <= 7 px exactly; 6x6 measured
     # ~+0.5 ms/frame faster at r50 but clamps reach sooner (PERF.md)
     patch_hw: Tuple[int, int] = (8, 8)
+    # hybrid exact mode (ops/sampling.py::msda_hybrid): windowed
+    # sampling + an exact correction lane over the window-clamped
+    # (query, level) entries — value-exact while the per-camera clamped
+    # demand fits `clamp_capacity` (the serving path for checkpoints
+    # TRAINED under exact semantics). Overrides patch_mode.
+    hybrid_mode: bool = False
+    clamp_capacity: int = 128
     # in-graph exactness guard: sow per-frame overflow counters into the
     # "guards" collection (slot-cap overflow; window clamp + dropped
     # level mass in patch mode) so capped/windowed semantics become a
@@ -236,7 +249,33 @@ class QueryGroupMSDA(nn.Module):
                     jnp.float32
                 ),
             )
-            if self.patch_mode:
+            if self.hybrid_mode:
+                # exact-correction demand: per-camera count of clamped
+                # (query, level) entries; the hybrid output is
+                # value-exact while this fits `clamp_capacity`
+                demand = msda_clamp_demand(
+                    spatial_shapes,
+                    loc.reshape(
+                        bs * self.num_cams, k, self.num_heads,
+                        self.num_levels, self.num_points, 2,
+                    ),
+                    self.patch_hw[0], self.patch_hw[1],
+                    valid=valid_slots.reshape(bs * self.num_cams, k),
+                )
+                self.sow(
+                    "guards", "msda_clamp_overflow",
+                    jnp.maximum(
+                        demand.max() - self.clamp_capacity, 0.0
+                    ).astype(jnp.float32),
+                )
+                # raw demand (a capacity-headroom STAT, not a
+                # violation: demand <= capacity is the corrected-exact
+                # regime — check_guard_violations skips `*_demand`)
+                self.sow(
+                    "guards", "msda_clamp_demand",
+                    demand.max().astype(jnp.float32),
+                )
+            elif self.patch_mode:
                 stats = msda_window_stats(
                     spatial_shapes, loc, attn,
                     self.patch_hw[0], self.patch_hw[1],
@@ -263,7 +302,14 @@ class QueryGroupMSDA(nn.Module):
             bs * self.num_cams, k, self.num_heads, self.num_levels,
             self.num_points,
         )
-        if self.patch_mode:
+        if self.hybrid_mode:
+            sample_fn = functools.partial(
+                msda_hybrid,
+                patch_h=self.patch_hw[0], patch_w=self.patch_hw[1],
+                clamp_capacity=self.clamp_capacity,
+                pair_table=pair_table, raw_heads=post_proj,
+            )
+        elif self.patch_mode:
             sample_fn = functools.partial(
                 msda_patch, sel_levels=self.sel_levels,
                 pair_table=pair_table, raw_heads=post_proj,

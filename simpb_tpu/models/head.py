@@ -220,6 +220,8 @@ class SimPBHead(nn.Module):
                         gather_capacity=c.msda_gather_capacity,
                         sel_levels=c.msda_sel_levels or None,
                         patch_hw=c.msda_patch_hw,
+                        hybrid_mode=c.msda_hybrid_mode,
+                        clamp_capacity=c.msda_clamp_capacity,
                         guard=c.guard_sampling,
                         dtype=self.dtype,
                         name=f"op{i}_qg_cross_attn",

@@ -205,6 +205,58 @@ def shrink_patch(patch_h: int, patch_w: int, h: int, w: int):
     return ph, pw
 
 
+def _lost_weights(
+    spatial_shapes: SpatialShapes,
+    loc: jnp.ndarray,  # [B, Q, L, n, 2] H-major samples
+    patch_h: int,
+    patch_w: int,
+):
+    """Per-sample window-clamp analysis shared by the guard and the
+    hybrid corrector.
+
+    For every sample, computes the bilinear-weight fraction carried by
+    its LOST corners — corners inside the IMAGE (grid_sample would read
+    them) but outside the midrange-centred window `msda_patch` actually
+    gathers. `lost_w > 0` ⇔ the windowed value deviates from exact
+    grid_sample; `lost_w == 0` ⇔ bit-for-the-same-math equal (tested in
+    tests/test_guards.py). Mirrors `msda_patch` window placement via
+    the shared `_window_base`/`shrink_patch` helpers.
+
+    Returns (lost_w, keep): both [B, Q, L, n] float32, `keep` the
+    in-image support mask.
+    """
+    num_levels = loc.shape[2]
+    lost_all, keep_all = [], []
+    for lvl in range(num_levels):
+        h_, w_ = spatial_shapes.shapes[lvl]
+        ph, pw = shrink_patch(patch_h, patch_w, h_, w_)
+        l = loc[:, :, lvl]
+        px = l[..., 0].astype(jnp.float32) * w_ - 0.5
+        py = l[..., 1].astype(jnp.float32) * h_ - 0.5
+        keep = (
+            (px > -1.0) & (px < w_) & (py > -1.0) & (py < h_)
+        ).astype(jnp.float32)
+        base_x, base_y = _window_base(px, py, keep, ph, pw, h_, w_)
+        x0 = jnp.floor(px).astype(jnp.int32)
+        y0 = jnp.floor(py).astype(jnp.int32)
+        bx = base_x[..., None]
+        by = base_y[..., None]
+        fx = px - x0.astype(jnp.float32)
+        fy = py - y0.astype(jnp.float32)
+        lost_w = jnp.zeros_like(px)
+        for cx, wx_ in ((x0, 1.0 - fx), (x0 + 1, fx)):
+            in_x = (cx >= 0) & (cx <= w_ - 1)
+            out_x = (cx < bx) | (cx > bx + pw - 1)
+            for cy, wy_ in ((y0, 1.0 - fy), (y0 + 1, fy)):
+                in_y = (cy >= 0) & (cy <= h_ - 1)
+                out_y = (cy < by) | (cy > by + ph - 1)
+                lost_c = in_x & in_y & (out_x | out_y)
+                lost_w = lost_w + lost_c.astype(jnp.float32) * wx_ * wy_
+        lost_all.append(lost_w * keep)
+        keep_all.append(keep)
+    return jnp.stack(lost_all, axis=2), jnp.stack(keep_all, axis=2)
+
+
 def msda_window_stats(
     spatial_shapes: SpatialShapes,
     sampling_locations: jnp.ndarray,  # [B, Q, H, L, P, 2]
@@ -276,44 +328,18 @@ def msda_window_stats(
         sel_mask = jnp.ones((b, q, num_levels), jnp.float32)
         dropped = jnp.zeros((b,), jnp.float32)
 
-    count = jnp.zeros((b,), jnp.float32)
-    cmass = jnp.zeros((b,), jnp.float32)
-    for lvl in range(num_levels):
-        h_, w_ = spatial_shapes.shapes[lvl]
-        ph, pw = shrink_patch(patch_h, patch_w, h_, w_)
-        l = loc[:, :, lvl]
-        px = l[..., 0].astype(jnp.float32) * w_ - 0.5
-        py = l[..., 1].astype(jnp.float32) * h_ - 0.5
-        keep = (
-            (px > -1.0) & (px < w_) & (py > -1.0) & (py < h_)
-        ).astype(jnp.float32)
-        base_x, base_y = _window_base(px, py, keep, ph, pw, h_, w_)
-        x0 = jnp.floor(px).astype(jnp.int32)
-        y0 = jnp.floor(py).astype(jnp.int32)
-        bx = base_x[..., None]
-        by = base_y[..., None]
-        fx = px - x0.astype(jnp.float32)
-        fy = py - y0.astype(jnp.float32)
-        # per-corner bilinear weights and lost-corner test: a corner is
-        # "lost" when it is inside the IMAGE (so grid_sample would read
-        # it) but outside the WINDOW (so the patch path cannot). The
-        # clamped mass is weighted by the lost corners' bilinear-weight
-        # fraction — a corner with ~0 bilinear weight contributes ~0 to
-        # the deviation bound even though the stencil is formally
-        # clamped (tightens the bound vs counting the full attw).
-        lost_w = jnp.zeros_like(px)
-        for cx, wx_ in ((x0, 1.0 - fx), (x0 + 1, fx)):
-            in_x = (cx >= 0) & (cx <= w_ - 1)
-            out_x = (cx < bx) | (cx > bx + pw - 1)
-            for cy, wy_ in ((y0, 1.0 - fy), (y0 + 1, fy)):
-                in_y = (cy >= 0) & (cy <= h_ - 1)
-                out_y = (cy < by) | (cy > by + ph - 1)
-                lost_c = in_x & in_y & (out_x | out_y)
-                lost_w = lost_w + lost_c.astype(jnp.float32) * wx_ * wy_
-        gate = keep * vmask[:, :, None] * sel_mask[:, :, lvl, None]
-        inexact = (lost_w > 0).astype(jnp.float32) * gate  # [B, Q, n]
-        count = count + inexact.sum((1, 2))
-        cmass = cmass + (lost_w * gate * attw[:, :, lvl]).sum((1, 2))
+    # per-sample lost-corner bilinear-weight fraction: a corner is
+    # "lost" when it is inside the IMAGE (grid_sample would read it)
+    # but outside the WINDOW. Weighting the clamped mass by the lost
+    # fraction tightens the bound vs counting the full attw — a lost
+    # corner with ~0 bilinear weight contributes ~0.
+    lost_w, _ = _lost_weights(
+        spatial_shapes, loc, patch_h, patch_w
+    )  # [B, Q, L, n]
+    gate = vmask[:, :, None, None] * sel_mask[:, :, :, None]
+    inexact = (lost_w > 0).astype(jnp.float32) * gate
+    count = inexact.sum((1, 2, 3))
+    cmass = (lost_w * gate * attw).sum((1, 2, 3))
     return {
         "window_clamped": count,
         "window_clamped_mass": cmass,
@@ -976,4 +1002,208 @@ def _msda_patch_sel(
 
     return _with_pair_table(
         sample_core, pair_table, value.reshape(b * total_hw, c), loc, attw
+    )
+
+
+def msda_clamp_demand(
+    spatial_shapes: SpatialShapes,
+    sampling_locations: jnp.ndarray,  # [B, Q, H, L, P, 2]
+    patch_h: int,
+    patch_w: int,
+    valid: Optional[jnp.ndarray] = None,  # [B, Q] bool
+) -> jnp.ndarray:
+    """Per-batch count of (query, level) entries the hybrid path must
+    correct: entries with at least one window-clamped sample. This is
+    the demand the `clamp_capacity` of `msda_hybrid` must cover for the
+    hybrid output to equal exact `msda` (up to fp reassociation);
+    `max(demand - capacity, 0)` is the guard counter."""
+    b, q = sampling_locations.shape[:2]
+    heads, num_levels, num_points = sampling_locations.shape[2:5]
+    loc = sampling_locations.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, q, num_levels, heads * num_points, 2
+    )
+    lost_w, _ = _lost_weights(spatial_shapes, loc, patch_h, patch_w)
+    clamped_ql = (lost_w > 0).any(-1)  # [B, Q, L]
+    if valid is not None:
+        clamped_ql = clamped_ql & valid[:, :, None]
+    return clamped_ql.sum((1, 2)).astype(jnp.float32)
+
+
+def msda_hybrid(
+    value: jnp.ndarray,
+    spatial_shapes: SpatialShapes,
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    patch_h: int = 8,
+    patch_w: int = 8,
+    clamp_capacity: int = 128,
+    pair_table: Optional[jnp.ndarray] = None,
+    raw_heads: bool = False,
+):
+    """Windowed MSDA with an exact correction lane: value-exact MSDA at
+    near-patch cost.
+
+    The serving problem this solves (PERF.md round-3): checkpoints
+    TRAINED under exact semantics (the converted-torch-checkpoint
+    scenario, reference ops/src/deformable_aggregation_cuda.cu:129-187 +
+    mmcv MSDA) lose ~0.094 mAP under the windowed fast path, but the
+    fully exact path pays 2x the gather rows. Observation: for a
+    trained model most (query, level) sample clusters FIT the 8x8
+    window (the offsets are learned attention patterns, not uniform
+    scatter); only a minority clamp. So:
+
+      1. run the windowed pass (`msda_patch`) with the clamped
+         (query, level) entries' attention weights zeroed;
+      2. re-sample ONLY those entries through the exact row-pair path
+         (a static `clamp_capacity` per batch-camera, top-priority by
+         lost attention mass) and scatter-add their exact
+         contributions back on the MXU.
+
+    While the per-camera clamped-entry demand fits `clamp_capacity`,
+    the result equals exact `msda` up to fp reassociation (the
+    uncorrected entries' windows serve every stencil corner, which is
+    the tested `lost_w == 0 ⇒ patch == exact` invariant; the corrected
+    entries are literally exact row-pair samples). Demand overflow is
+    measurable in-graph via `msda_clamp_demand` — the guarded config
+    surfaces `max(demand - capacity, 0)` per frame, so serving a
+    converted checkpoint carries a per-frame exactness certificate
+    instead of an accuracy hope.
+
+    Cost model: windowed pass rows (32 pair rows per (q, l)) + 2 rows
+    per corrected sample (`clamp_capacity * heads * points * 2`),
+    vs 2 rows per sample for every (q, l) in exact `msda`.
+
+    Same signature/sharing hooks as `msda`/`msda_patch`. NOTE: with
+    `pair_table=None` the table is built twice (once per lane inside
+    each lane's remat) — serving runs share one table via
+    `share_sampling_table`, so this only costs in no-table training
+    use, where `msda_patch`/`msda` are the intended ops anyway.
+    """
+    b, total_hw, c = value.shape
+    q = sampling_locations.shape[1]
+    heads, num_levels, num_points = sampling_locations.shape[2:5]
+    n = heads * num_points
+    head_dim = c // heads
+    k_cap = min(clamp_capacity, q * num_levels)
+
+    loc = sampling_locations.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, q, num_levels, n, 2
+    )
+    attw = attention_weights.transpose(0, 1, 3, 2, 4).reshape(
+        b, q, num_levels, n
+    )
+
+    # ---- selection: which (q, l) entries need exact correction ----
+    lost_w, _ = _lost_weights(spatial_shapes, loc, patch_h, patch_w)
+    lost_flag = (lost_w > 0).astype(jnp.float32)  # [B, Q, L, n]
+    # priority = lost attention mass (the entries whose windowed value
+    # deviates the most); any positive mass marks a clamped entry
+    prio = (lost_flag * attw.astype(jnp.float32)).sum(-1).reshape(
+        b, q * num_levels
+    )
+    # strictly-positive floor for clamped entries with ~0 attention
+    # mass so capacity still covers them ahead of unclamped entries
+    clamped = lost_flag.any(-1).reshape(b, q * num_levels)
+    prio = jnp.where(clamped, prio + 1e-6, 0.0)
+    _, sel = jax.lax.top_k(prio, k_cap)  # [B, k_cap]
+    sel = sel.astype(jnp.int32)
+    sel_gate = (jnp.take_along_axis(prio, sel, axis=1) > 0.0).astype(
+        jnp.float32
+    )  # [B, k_cap]
+    # [B, Q*L] mask of corrected entries (gated: capacity padding when
+    # fewer than k_cap entries clamp selects dead entries — masked out)
+    sel_mask = (
+        jax.nn.one_hot(sel, q * num_levels, dtype=jnp.float32)
+        * sel_gate[..., None]
+    ).sum(1)
+    corr_mask = sel_mask.reshape(b, q, num_levels)
+
+    # ---- windowed lane with corrected entries zeroed ----
+    attw_win = attention_weights * (
+        1.0 - corr_mask[:, :, None, :, None]
+    ).astype(attention_weights.dtype)
+    win = msda_patch(
+        value, spatial_shapes, sampling_locations, attw_win,
+        patch_h=patch_h, patch_w=patch_w, sel_levels=None,
+        pair_table=pair_table, raw_heads=raw_heads,
+    )
+
+    # ---- exact lane over the selected entries ----
+    h_vec = jnp.asarray([h_ for h_, _ in spatial_shapes.shapes], jnp.int32)
+    w_vec = jnp.asarray([w_ for _, w_ in spatial_shapes.shapes], jnp.int32)
+    start_vec = jnp.asarray(spatial_shapes.start_indices, jnp.int32)
+    l_idx = sel % num_levels  # [B, K]
+    q_idx = sel // num_levels
+
+    # flat single-take gathers of the selected entries' samples (the
+    # only gather form on the fast path — CLAUDE.md)
+    ql = q * num_levels
+    loc_flat = loc.reshape(b * ql, n * 2)
+    attw_flat = attw.reshape(b * ql, n)
+    rowsel = (jnp.arange(b, dtype=jnp.int32) * ql)[:, None] + sel
+    loc_k = jnp.take(loc_flat, rowsel.reshape(-1), axis=0).reshape(
+        b, k_cap, n, 2
+    )
+    attw_k = jnp.take(attw_flat, rowsel.reshape(-1), axis=0).reshape(
+        b, k_cap, n
+    ).astype(jnp.float32) * sel_gate[..., None]
+
+    hh = jnp.take(h_vec, l_idx)[..., None]  # [B, K, 1]
+    ww = jnp.take(w_vec, l_idx)[..., None]
+    st = jnp.take(start_vec, l_idx)[..., None]
+
+    def exact_core(pair, loc_k, attw_k):
+        wx0, wx1, wy0, wy1, x0, y0, y1 = _corner_weights(
+            loc_k, hh, ww, pair.dtype, False
+        )
+        sx = jnp.clip(x0, 0, ww - 1)
+        batch_base = (
+            jnp.arange(b, dtype=jnp.int32) * total_hw
+        )[:, None, None]
+        row0 = batch_base + st + jnp.clip(y0, 0, hh - 1) * ww + sx
+        row1 = batch_base + st + jnp.clip(y1, 0, hh - 1) * ww + sx
+        idx = jnp.stack([row0, row1])  # [2, B, K, n]
+        vals = jnp.take(pair, idx.reshape(-1), axis=0).reshape(
+            2, b, k_cap, n, 2 * c
+        )
+        sampled = _pair_bilinear(
+            vals, x0 == sx, wx0, wx1, wy0, wy1
+        )  # [B, K, n, C]
+        sampled = sampled.reshape(b, k_cap, heads, num_points, c)
+        w_hp = attw_k.reshape(b, k_cap, heads, num_points)
+        contrib = jnp.einsum(
+            "bkhpc,bkhp->bkhc", sampled.astype(jnp.float32), w_hp
+        )
+        mass = (
+            (wx0 + wx1).astype(jnp.float32)
+            * (wy0 + wy1).astype(jnp.float32)
+        ).reshape(b, k_cap, heads, num_points)
+        wsum = jnp.einsum("bkhp,bkhp->bkh", w_hp, mass)
+        return contrib, wsum
+
+    contrib, wsum_k = _with_pair_table(
+        exact_core, pair_table,
+        value.reshape(b * total_hw, c), loc_k, attw_k,
+    )
+    # scatter the K corrections back to their queries on the MXU
+    onehot_q = jax.nn.one_hot(q_idx, q, dtype=jnp.float32) * sel_gate[
+        ..., None
+    ]  # [B, K, Q]
+    corr = jnp.einsum(
+        "bkq,bkhc->bqhc", onehot_q, contrib,
+        preferred_element_type=jnp.float32,
+    )
+    corr_w = jnp.einsum(
+        "bkq,bkh->bqh", onehot_q, wsum_k,
+        preferred_element_type=jnp.float32,
+    )
+
+    if raw_heads:
+        return win[0] + corr, win[1] + corr_w
+    head_mask = jnp.repeat(
+        jnp.eye(heads, dtype=jnp.float32), head_dim, axis=1
+    )
+    return win + jnp.einsum(
+        "bqhc,hc->bqc", corr, head_mask,
+        preferred_element_type=jnp.float32,
     )

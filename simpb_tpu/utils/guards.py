@@ -81,6 +81,10 @@ def check_guard_violations(metrics: Dict[str, float]) -> list:
         k
         for k, v in metrics.items()
         if k.startswith("guard_")
+        # `*_demand` counters are capacity-headroom STATS (how much of
+        # a cap was used), not violations — only overflow/clamp/dropped
+        # counters mean the exactness contract broke
+        and not k.endswith("_demand")
         and v is not None
         and not math.isnan(float(v))
         and float(v) != 0.0

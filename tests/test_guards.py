@@ -267,7 +267,8 @@ def test_check_guard_violations_and_cli_enforcement(capsys):
              "guard_msda_window_clamped": float("nan")}
     assert check_guard_violations(clean) == []
     dirty = dict(clean, guard_dfa_overflow=7.0,
-                 guard_msda_window_clamped_mass=0.25)
+                 guard_msda_window_clamped_mass=0.25,
+                 guard_msda_clamp_demand=42.0)  # stat, not a violation
     assert check_guard_violations(dirty) == [
         "guard_dfa_overflow", "guard_msda_window_clamped_mass"
     ]

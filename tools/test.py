@@ -62,7 +62,7 @@ def parse_args():
     p.add_argument("--data-root", default="")
     p.add_argument("--config", default="r50",
                    choices=["r50", "r50-fast", "r50-guarded",
-                            "r50-fast-guarded", "r101",
+                            "r50-fast-guarded", "r50-hybrid", "r101",
                             "r101-fast", "tiny"])
     p.add_argument("--src-h", type=int, default=900)
     p.add_argument("--src-w", type=int, default=1600)
@@ -125,6 +125,7 @@ def main():
         simpb_r50_704x256_fast,
         simpb_r50_704x256_guarded,
         simpb_r50_704x256_fast_guarded,
+        simpb_r50_704x256_hybrid,
         simpb_r101_1408x512_fast,
         simpb_tiny,
     )
@@ -136,6 +137,7 @@ def main():
     cfg = {"r50": simpb_r50_704x256, "r50-fast": simpb_r50_704x256_fast,
            "r50-guarded": simpb_r50_704x256_guarded,
            "r50-fast-guarded": simpb_r50_704x256_fast_guarded,
+           "r50-hybrid": simpb_r50_704x256_hybrid,
            "r101": simpb_r101_1408x512,
            "r101-fast": simpb_r101_1408x512_fast,
            "tiny": simpb_tiny}[args.config]()
