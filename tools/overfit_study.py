@@ -240,6 +240,15 @@ def main():
     p.add_argument("--bs", type=int, default=1,
                    help="scenes per train step (distinct scenes batch "
                         "along axis 0; eval stays bs=1)")
+    p.add_argument("--gt-anchors", action="store_true",
+                   help="initialise the 3D anchors by k-means over the "
+                        "TRAIN scenes' GT boxes (the production "
+                        "tools/anchor_generator.py recipe) instead of "
+                        "the default uniform[0,1) init — the round-3 "
+                        "capacity-ladder top rung failed partly "
+                        "because uniform anchors start at the ego "
+                        "origin (VERDICT r3 weak #6)")
+    p.add_argument("--lr-label", default=None, help=argparse.SUPPRESS)
     args = p.parse_args()
 
     if args.cpu:
@@ -365,6 +374,42 @@ def main():
             train_batches[0]["projection_mat"], train=True,
         )
     )()
+    if args.gt_anchors:
+        # production anchor recipe (tools/anchor_generator.py): k-means
+        # over GT box states; anchor state is the 11-dim
+        # [x,y,z,logw,logl,logh,sin,cos,vx,vy,vz] (core/box3d.py)
+        gt = np.concatenate([s_["boxes"] for s_ in scenes], 0)
+        feats = np.concatenate([
+            gt[:, :3],
+            np.log(np.maximum(gt[:, 3:6], 1e-3)),
+            np.sin(gt[:, 6:7]), np.cos(gt[:, 6:7]),
+            np.zeros((len(gt), 3), np.float32),
+        ], 1).astype(np.float64)
+        k = cfg.head.num_anchor
+        if len(feats) >= k:
+            from sklearn.cluster import KMeans
+
+            centers = KMeans(
+                n_clusters=k, n_init=4, random_state=0
+            ).fit(feats).cluster_centers_
+        else:
+            # fewer GT than anchors: tile + jitter positions
+            rng_a = np.random.default_rng(0)
+            centers = np.tile(feats, (k // len(feats) + 1, 1))[:k]
+            centers[:, :2] += rng_a.normal(0, 2.0, (k, 2))
+        centers = centers.astype(np.float32)
+
+        def _replace(path, leaf):
+            if (
+                getattr(path[-1], "key", None) == "anchor"
+                and leaf.shape == centers.shape
+            ):
+                return jnp.asarray(centers, leaf.dtype)
+            return leaf
+
+        variables = jax.tree_util.tree_map_with_path(_replace, variables)
+        print(f"installed {k} k-means GT anchors "
+              f"(from {len(feats)} GT boxes)", flush=True)
 
     def evaluate(params_variables, tag, ev_scenes=None, ev_batches=None):
         ev_scenes = scenes if ev_scenes is None else ev_scenes
@@ -483,6 +528,8 @@ def main():
         "boxes_per_scene": args.boxes, "wh": list(img_wh),
         "temporal": args.temporal,
         "fast": args.fast,
+        "embed": cfg.head.embed_dims, "anchors": cfg.head.num_anchor,
+        "lr": args.lr, "bs": args.bs, "gt_anchors": args.gt_anchors,
         "loss_first": loss_first, "loss_last": loss_last,
         "mAP_before": before["mAP"], "mAP_after": after["mAP"],
         "NDS_before": before["NDS"], "NDS_after": after["NDS"],
