@@ -21,7 +21,7 @@ from simpb_tpu.configs.base import (
     simpb_r50_704x256_fast,
     simpb_r50_704x256_guarded,
 )
-from simpb_tpu.utils.benchmark import run_benchmark
+from simpb_tpu.utils.benchmark import device_peak_memory, run_benchmark
 
 BASELINE_FPS = 50.0
 
@@ -72,6 +72,9 @@ def main():
         )
 
     fps = run_benchmark(cfg, window=128, batch_size=1)
+    # peak HBM alongside fps (reference tools/benchmark.py:100-113
+    # reports both); null when the backend exposes no memory stats
+    peak = device_peak_memory()
     print(
         json.dumps(
             {
@@ -79,6 +82,9 @@ def main():
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "peak_hbm_gib": (
+                    round(peak / 2**30, 3) if peak is not None else None
+                ),
             }
         )
     )

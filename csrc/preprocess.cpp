@@ -14,8 +14,39 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <ctime>
 
 extern "C" {
+
+// Fault injection for the preemption watchdog (utils/watchdog.py):
+// block the calling thread in native code for `seconds`, RESTARTING
+// after EINTR — exactly the signal-opaque native wait the round-4 soak
+// observed in a device-RPC stall (PERF.md "Soak re-examination").
+// Python's C-level signal handler still fires (sets the pending flag +
+// writes the wakeup fd) but the bytecode loop — and therefore the
+// Python-level SIGTERM handler — cannot run until this returns.
+// Test-only entry point; never called on the production path.
+void native_hang(double seconds) {
+  struct timespec deadline;
+  clock_gettime(CLOCK_MONOTONIC, &deadline);
+  deadline.tv_sec += (time_t)seconds;
+  deadline.tv_nsec += (long)((seconds - (time_t)seconds) * 1e9);
+  if (deadline.tv_nsec >= 1000000000L) {
+    deadline.tv_sec += 1;
+    deadline.tv_nsec -= 1000000000L;
+  }
+  for (;;) {
+    struct timespec now;
+    clock_gettime(CLOCK_MONOTONIC, &now);
+    if (now.tv_sec > deadline.tv_sec ||
+        (now.tv_sec == deadline.tv_sec &&
+         now.tv_nsec >= deadline.tv_nsec)) {
+      return;
+    }
+    struct timespec chunk = {0, 50000000L};  // 50 ms, EINTR-restarted
+    nanosleep(&chunk, nullptr);
+  }
+}
 
 // in:  [in_h, in_w, 3] uint8 (RGB)
 // out: [out_h, out_w, 3] float32, normalised

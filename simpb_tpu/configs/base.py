@@ -341,6 +341,13 @@ def simpb_r101_1408x512_fast() -> ModelConfig:
     `simpb_r50_704x256_fast` transfer unchanged: valid 2D slots per
     camera are bounded by `allocation_capacity` (resolution-independent)
     and in-range keypoint demand depends on anchor/rig geometry only.
+
+    `stem_s2d=True`: at 4x the pixels the low-channel 7x7/s2 stem is
+    bandwidth-bound enough for the space-to-depth reformulation
+    (exact-equivalent, models/backbone.py::StemConv) to pay — measured
+    +2% at this resolution (27.93 vs 27.32 fps, round-4 A/B, PERF.md
+    "r101/1408x512 second pass"). The sign flips vs r50, where the
+    plain conv wins and the default stays False.
     """
     head = HeadConfig(
         msda_patch_mode=True,
@@ -351,6 +358,7 @@ def simpb_r101_1408x512_fast() -> ModelConfig:
     return ModelConfig(
         backbone_depth=101,
         input_size=(1408, 512),
+        stem_s2d=True,
         head=head,
     )
 

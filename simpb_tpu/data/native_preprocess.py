@@ -59,12 +59,27 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_float, ctypes.c_float,
     ]
+    lib.native_hang.argtypes = [ctypes.c_double]
+    lib.native_hang.restype = None
     _lib = lib
     return lib
 
 
 def available() -> bool:
     return _build() is not None
+
+
+def native_hang(seconds: float) -> bool:
+    """Fault injection: block the calling thread in native code for
+    `seconds`, restarting through EINTR (csrc/preprocess.cpp). Simulates
+    the signal-opaque native device-RPC stall the round-4 soak observed
+    so tests can prove the preemption watchdog (utils/watchdog.py)
+    fires. Returns False when the native library is unavailable."""
+    lib = _build()
+    if lib is None:
+        return False
+    lib.native_hang(ctypes.c_double(float(seconds)))
+    return True
 
 
 def preprocess_image(

@@ -275,6 +275,14 @@ class QueryGroupMSDA(nn.Module):
                     "guards", "msda_clamp_demand",
                     demand.max().astype(jnp.float32),
                 )
+                # per-(batch x camera) demand vector: the distribution
+                # evidence behind the day-0 capacity choice
+                # (tools/production_demand_study.py histograms it);
+                # summarize_guards reduces it to the same max
+                self.sow(
+                    "guards", "msda_percam_clamp_demand",
+                    demand.astype(jnp.float32),
+                )
             elif self.patch_mode:
                 stats = msda_window_stats(
                     spatial_shapes, loc, attn,

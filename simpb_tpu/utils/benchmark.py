@@ -21,6 +21,29 @@ from ..models.instance_bank import TemporalState
 from .synthetic import install_synthetic_anchors, synthetic_rig
 
 
+def device_peak_memory(device=None):
+    """Peak device (HBM) bytes in use, or None when the backend does
+    not expose memory statistics.
+
+    The reference benchmark reports fps AND peak CUDA memory
+    (reference tools/benchmark.py:100-113, torch.cuda.max_memory_
+    allocated); this is the TPU-side equivalent via PJRT
+    `device.memory_stats()`, with a graceful n/a for backends (e.g.
+    some tunnel/CPU configurations) that return nothing.
+    """
+    try:
+        dev = device if device is not None else jax.local_devices()[0]
+        stats = dev.memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    for key in ("peak_bytes_in_use", "peak_bytes", "bytes_in_use"):
+        if key in stats:
+            return int(stats[key])
+    return None
+
+
 def run_benchmark(cfg, window: int = 128, batch_size: int = 1) -> float:
     """Returns six-camera frames/sec/chip for `cfg`.
 

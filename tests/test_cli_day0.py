@@ -155,3 +155,87 @@ def test_day0_torch_checkpoint_cli(tmp_path):
         ),
         variables.get("batch_stats", {}), merged_stats,
     )
+
+
+def test_day0_decision_cli(tmp_path):
+    """The executable serving-decision recipe (tools/day0.py, VERDICT
+    r4 item 7): convert -> measure `guard_msda_clamp_demand` -> choose
+    hybrid/guarded with a right-sized capacity -> emit evidence JSON
+    with the serving command."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from simpb_tpu.configs.base import simpb_tiny
+    from simpb_tpu.models.detector import SimPB
+    from simpb_tpu.utils.torch_convert import flax_to_torch
+
+    pkl = write_fake_dataset(tmp_path, n_frames=4)
+
+    cfg = dataclasses.replace(simpb_tiny(), compute_dtype="bfloat16")
+    model = SimPB(cfg)
+    fw, fh = cfg.input_size
+    img0 = jnp.zeros((1, 6, fh, fw, 3), jnp.float32)
+    proj0 = jnp.tile(jnp.eye(4)[None, None], (1, 6, 1, 1))
+    variables = jax.jit(
+        lambda: model.init(
+            {
+                "params": jax.random.PRNGKey(0),
+                "aug": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2),
+                "sampling": jax.random.PRNGKey(3),
+            },
+            img0, proj0, train=True,
+        )
+    )()
+    variables = jax.tree.map(np.asarray, variables)
+    sd = flax_to_torch(
+        variables["params"], variables.get("batch_stats", {}), cfg
+    )
+    ckpt = tmp_path / "synthetic_release_d.pth"
+    torch.save(
+        {"state_dict": {k: torch.from_numpy(np.asarray(v))
+                        for k, v in sd.items()}},
+        str(ckpt),
+    )
+
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    )
+    out_dir = tmp_path / "day0"
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "tools", "day0.py"),
+            "--ann-file", pkl, "--config", "tiny",
+            "--torch-checkpoint", str(ckpt),
+            "--out-dir", str(out_dir),
+            "--demand-frames", "4", "--confirm-frames", "2",
+            "--src-h", str(SRC_H), "--src-w", str(SRC_W),
+        ],
+        capture_output=True, text=True, env=env, timeout=1800,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    decision_file = out_dir / "day0_decision.json"
+    assert decision_file.exists(), proc.stdout[-2000:]
+    with open(decision_file) as f:
+        d = json.load(f)
+    total = d["total_entries_per_camera"]
+    assert total == 32  # tiny: alloc 8 x 4 levels
+    demand = d["guard_msda_clamp_demand_max"]
+    assert 0 <= demand <= total
+    assert d["chosen_config"] in ("tiny-hybrid", "tiny-guarded")
+    if d["chosen_config"] == "tiny-hybrid":
+        # right-sized: covers measured demand, multiple of 32
+        cap = d["msda_clamp_capacity"]
+        assert cap >= demand and cap % 32 == 0
+    assert "serve_command" in d and "rationale" in d
+    # measurement pass ran with zero correction-lane overflow (the
+    # capacity covered every entry), so demand is the true need
+    assert d["guard_msda_clamp_overflow"] == 0
+    assert "confirmation_metrics" in d
+    assert "mAP" in d["measurement_metrics"]

@@ -22,8 +22,13 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="r50-fast",
                    choices=["r50", "r50-fast", "r50-guarded",
-                            "r50-fast-guarded", "r101",
+                            "r50-fast-guarded", "r50-hybrid", "r101",
                             "r101-fast", "tiny"])
+    p.add_argument("--clamp-cap", type=int, default=None,
+                   help="override msda_clamp_capacity (the hybrid "
+                        "exact-correction-lane capacity; measured "
+                        "sweep in PERF.md: 128 -> 48.7 fps, 256 -> "
+                        "47.4, 832 = full correction -> 32.6)")
     p.add_argument("--exact", action="store_true",
                    help="force exact MSDA sampling (windowed off)")
     p.add_argument("--patch", action="store_true",
@@ -64,17 +69,22 @@ def main():
         simpb_r50_704x256_fast,
         simpb_r50_704x256_guarded,
         simpb_r50_704x256_fast_guarded,
+        simpb_r50_704x256_hybrid,
         simpb_r101_1408x512,
         simpb_r101_1408x512_fast,
         simpb_tiny,
     )
-    from simpb_tpu.utils.benchmark import run_benchmark
+    from simpb_tpu.utils.benchmark import (
+        device_peak_memory,
+        run_benchmark,
+    )
 
     cfg = {
         "r50": simpb_r50_704x256,
         "r50-fast": simpb_r50_704x256_fast,
         "r50-guarded": simpb_r50_704x256_guarded,
         "r50-fast-guarded": simpb_r50_704x256_fast_guarded,
+        "r50-hybrid": simpb_r50_704x256_hybrid,
         "r101": simpb_r101_1408x512,
         "r101-fast": simpb_r101_1408x512_fast,
         "tiny": simpb_tiny,
@@ -106,22 +116,32 @@ def main():
         head = dataclasses.replace(
             head, msda_patch_hw=tuple(args.msda_window)
         )
+    if args.clamp_cap is not None:
+        head = dataclasses.replace(
+            head, msda_clamp_capacity=args.clamp_cap
+        )
     if args.guard:
         head = dataclasses.replace(head, guard_sampling=True)
     cfg = dataclasses.replace(cfg, head=head)
 
     fps = run_benchmark(cfg, window=args.frames, batch_size=args.batch_size)
+    peak = device_peak_memory()
     print(
         json.dumps(
             {
                 "config": args.config,
                 "msda_patch_mode": cfg.head.msda_patch_mode,
+                "msda_hybrid_mode": cfg.head.msda_hybrid_mode,
+                "msda_clamp_capacity": cfg.head.msda_clamp_capacity,
                 "dfa_gather_capacity": cfg.head.dfa_gather_capacity,
                 "msda_gather_capacity": cfg.head.msda_gather_capacity,
                 "msda_sel_levels": cfg.head.msda_sel_levels,
                 "msda_patch_hw": list(cfg.head.msda_patch_hw),
                 "batch_size": args.batch_size,
                 "six_cam_fps_per_chip": round(fps, 2),
+                "peak_hbm_gib": (
+                    round(peak / 2**30, 3) if peak is not None else None
+                ),
             }
         )
     )

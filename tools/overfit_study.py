@@ -227,7 +227,11 @@ def main():
     p.add_argument("--val-scenes", type=int, default=0,
                    help="also score N HELD-OUT painted scenes (unseen "
                         "box layouts/classes) — generalisation, not "
-                        "memorisation (non-temporal mode only)")
+                        "memorisation. In --temporal mode these are "
+                        "held-out SEQUENCES: val mAVE + instance-id "
+                        "track consistency measure whether the "
+                        "velocity/tracking pathways transfer to "
+                        "unseen layouts (VERDICT r4 item 8)")
     # capacity-ladder knobs (VERDICT round-2 item 2): scale the model
     # above the tiny config to test whether held-out val mAP rises with
     # capacity (round-2 plateau: ~0.17 at embed 64 / 32 anchors)
@@ -510,15 +514,30 @@ def main():
     after = evaluate(state_variables(state), "after")
 
     val = None
-    if args.val_scenes and not args.temporal:
+    if args.val_scenes:
         # held-out layouts: same rig and painting rule, unseen seeds —
         # scoring them tests generalisation of the learned
-        # appearance->box mapping, not scene memorisation
-        val_scenes = [
-            make_scene(10_000 + i, args.boxes, img_wh, proj_np)
-            for i in range(args.val_scenes)
-        ]
-        val_batches = [build_batch(s, 5.0) for s in val_scenes]
+        # appearance->box mapping, not scene memorisation. Temporal
+        # mode holds out whole SEQUENCES: val mAVE and track
+        # consistency measure velocity/tracking transfer.
+        if args.temporal:
+            val_seqs = [
+                make_sequence(20_000 + i, args.boxes, img_wh, proj_np,
+                              args.seq_len, args.dt)
+                for i in range(args.val_scenes)
+            ]
+            val_scenes = [fr for seq in val_seqs for fr in seq]
+            val_batches = [
+                build_batch(fr, 5.0 if t == 0 else args.dt)
+                for seq in val_seqs
+                for t, fr in enumerate(seq)
+            ]
+        else:
+            val_scenes = [
+                make_scene(10_000 + i, args.boxes, img_wh, proj_np)
+                for i in range(args.val_scenes)
+            ]
+            val_batches = [build_batch(s, 5.0) for s in val_scenes]
         val = evaluate(
             state_variables(state), "val", val_scenes, val_batches
         )
@@ -540,6 +559,11 @@ def main():
         result["mAP_val"] = val["mAP"]
         result["NDS_val"] = val["NDS"]
         result["mATE_val"] = val["mATE"]
+        result["mAVE_val"] = val["mAVE"]
+        if args.temporal:
+            result["track_consistency_val"] = val.get(
+                "track_consistency"
+            )
     if args.temporal:
         result["track_consistency_before"] = before.get(
             "track_consistency"

@@ -131,36 +131,87 @@ ITER_RE = re.compile(
 )
 
 
-def run_phase(cmd, sigterm_after_iter=None, timeout=7200):
+def run_phase(cmd, sigterm_after_iter=None, timeout=14400,
+              stall_timeout=900):
     """Run tools/train.py, streaming stdout; optionally SIGTERM once a
-    logged iter passes the threshold. Returns (records, evals, out)."""
+    logged iter passes the threshold. Returns (records, evals, out).
+
+    Stall detection: if NO output arrives for `stall_timeout` seconds
+    (the round-4 failure was a silent 25-min native device-RPC hang),
+    send SIGTERM — the graceful preemption path if the main thread can
+    run its handler, else the in-process watchdog (utils/watchdog.py)
+    forces a resumable exit 75 within its deadline. SIGKILL only as the
+    last resort if even the watchdog fails to end the process."""
+    import queue
+    import threading
+
     proc = subprocess.Popen(
         cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         cwd=REPO,
     )
+    q: "queue.Queue" = queue.Queue()
+
+    def reader():
+        for line in proc.stdout:
+            q.put(line)
+        q.put(None)
+
+    threading.Thread(target=reader, daemon=True).start()
+
     records, evals, lines = [], [], []
     sent = False
+    stall_term_at = None
     t0 = time.time()
-    for line in proc.stdout:
-        lines.append(line)
-        sys.stdout.write(line)
-        sys.stdout.flush()
-        m = ITER_RE.search(line)
-        if m:
-            records.append(
-                (int(m.group(1)), float(m.group(3)), float(m.group(4)))
+    while True:
+        try:
+            line = q.get(timeout=30)
+        except queue.Empty:
+            line = ""
+        if line is None:
+            break
+        if line:
+            lines.append(line)
+            sys.stdout.write(line)
+            sys.stdout.flush()
+            t_last = time.time()
+            m = ITER_RE.search(line)
+            if m:
+                records.append(
+                    (int(m.group(1)), float(m.group(3)),
+                     float(m.group(4)))
+                )
+                if (
+                    sigterm_after_iter is not None
+                    and not sent
+                    and int(m.group(1)) >= sigterm_after_iter
+                ):
+                    print(
+                        f"[soak] sending SIGTERM at iter {m.group(1)}",
+                        flush=True,
+                    )
+                    proc.send_signal(signal.SIGTERM)
+                    sent = True
+            if "eval @ iter" in line:
+                evals.append(line.strip())
+        else:
+            quiet = time.time() - (
+                t_last if lines else t0
             )
-            if (
-                sigterm_after_iter is not None
-                and not sent
-                and int(m.group(1)) >= sigterm_after_iter
-            ):
-                print(f"[soak] sending SIGTERM at iter {m.group(1)}",
-                      flush=True)
+            if stall_term_at is None and quiet > stall_timeout:
+                print(
+                    f"[soak] no output for {quiet:.0f}s — silent "
+                    "stall; sending SIGTERM (watchdog escalates if "
+                    "the handler is unreachable)", flush=True,
+                )
                 proc.send_signal(signal.SIGTERM)
-                sent = True
-        if "eval @ iter" in line:
-            evals.append(line.strip())
+                stall_term_at = time.time()
+            elif (
+                stall_term_at is not None
+                and time.time() - stall_term_at > 600
+            ):
+                print("[soak] watchdog did not end the stalled "
+                      "process in 600s — SIGKILL", flush=True)
+                proc.kill()
         if time.time() - t0 > timeout:
             proc.kill()
             raise RuntimeError("soak phase timed out")
@@ -183,6 +234,12 @@ def main():
     ap.add_argument("--draft", action="store_true",
                     help="train with --draft-decode (scaled JPEG "
                          "decode) — the host-bound 1-core lever")
+    ap.add_argument("--watchdog-deadline", type=float, default=120.0,
+                    help="forwarded to tools/train.py: native-stall "
+                         "escape (utils/watchdog.py). A stall like the "
+                         "round-4 562-iter RPC hang now ends in a "
+                         "forced resumable exit (code 75) that this "
+                         "harness auto-resumes from")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -201,34 +258,65 @@ def main():
         "--eval-ann-file", pkl,
         "--eval-interval", str(eval_interval),
         "--eval-frames", str(args.eval_frames),
+        "--watchdog-deadline", str(args.watchdog_deadline),
     ]
     if args.draft:
         base_cmd.append("--draft-decode")
 
+    # phase loop: the deliberate mid-run SIGTERM exercises the graceful
+    # preemption path once (rc 0 + ckpt_preempt); a watchdog-forced
+    # exit (rc 75: termination signal during a native stall —
+    # utils/watchdog.py) auto-resumes from the recorded recovery point.
+    # Both resume paths are the product contract this soak certifies.
     sig_at = int(args.steps * args.sigterm_frac)
-    print(f"[soak] phase 1: 0 -> SIGTERM@~{sig_at}", flush=True)
-    rec1, ev1, rc1, out1 = run_phase(base_cmd, sigterm_after_iter=sig_at)
-    assert rc1 == 0, f"phase 1 exit {rc1}"
-    assert "resume with --resume-from" in out1, (
-        "SIGTERM must produce a preemption checkpoint + clean exit"
-    )
-    # the preemption checkpoint is the last `saved <path>` line
-    saved = [
-        line.split()[-1]
-        for line in out1.splitlines()
-        if line.startswith("saved ")
-    ]
-    assert saved, "no checkpoint found after SIGTERM"
-    resume_dir = saved[-1]
-    assert "ckpt_preempt" in resume_dir, resume_dir
-
-    print(f"[soak] phase 2: resume from {resume_dir}", flush=True)
-    rec2, ev2, rc2, out2 = run_phase(
-        base_cmd + ["--resume-from", resume_dir]
-    )
-    assert rc2 == 0, f"phase 2 exit {rc2}"
-
-    records = rec1 + rec2
+    records, evals, watchdog_exits = [], [], 0
+    resume_dir = None
+    sigterm_done = False
+    out2 = ""
+    phase = 0
+    while True:
+        phase += 1
+        cmd = list(base_cmd)
+        if resume_dir:
+            cmd += ["--resume-from", resume_dir]
+        this_sig = None if sigterm_done else sig_at
+        print(f"[soak] phase {phase}: resume={resume_dir} "
+              f"sigterm_at={this_sig}", flush=True)
+        rec, ev, rc, out = run_phase(cmd, sigterm_after_iter=this_sig)
+        records += rec
+        evals += ev
+        if resume_dir:
+            out2 = out  # any resumed phase must print "resumed from"
+        last = max((r[0] for r in rec), default=0)
+        if rc == 0 and "resume with --resume-from" in out:
+            # graceful preemption exit (our deliberate SIGTERM)
+            saved = [
+                line.split()[-1]
+                for line in out.splitlines()
+                if line.startswith("saved ")
+            ]
+            assert saved, "no checkpoint found after SIGTERM"
+            resume_dir = saved[-1]
+            assert "ckpt_preempt" in resume_dir, resume_dir
+            sigterm_done = True
+            continue
+        if rc == 75:  # watchdog-forced exit during a native stall
+            watchdog_exits += 1
+            marker = os.path.join(work, "WATCHDOG_EXIT.json")
+            assert os.path.exists(marker), (
+                "watchdog exit without WATCHDOG_EXIT.json"
+            )
+            with open(marker) as f:
+                resume_dir = json.load(f)["last_completed_checkpoint"]
+            assert resume_dir, "watchdog fired before any checkpoint"
+            os.rename(marker, marker + f".{phase}")
+            print(f"[soak] watchdog exit at ~iter {last}; resuming "
+                  f"from {resume_dir}", flush=True)
+            assert watchdog_exits <= 10, "too many watchdog exits"
+            continue
+        assert rc == 0, f"phase {phase} exit {rc}"
+        break
+    ev1, ev2 = evals, []  # summary below counts the union
     iters = [r[0] for r in records]
     losses = [r[1] for r in records]
     sper = [r[2] for r in records]
@@ -259,6 +347,8 @@ def main():
         "sigterm_iter": sig_at,
         "resumed_from": resume_dir,
         "resume_line_seen": "resumed from" in out2,
+        "watchdog_forced_exits": watchdog_exits,
+        "watchdog_deadline_s": args.watchdog_deadline,
     }
     print(json.dumps(result, indent=1))
     assert result["all_finite"], "non-finite loss during soak"

@@ -81,6 +81,15 @@ def parse_args():
                         "runtime cannot autodetect (host:port)")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--watchdog-deadline", type=float, default=120.0,
+                   help="seconds a termination signal may wait on a "
+                        "stuck (native-blocked) main thread before the "
+                        "watchdog forces a resumable exit (code 75, "
+                        "resume from the last periodic checkpoint); "
+                        "0 disables (utils/watchdog.py — covers the "
+                        "native device-RPC stall the round-4 soak "
+                        "observed, where SIGTERM alone is "
+                        "undeliverable)")
     return p.parse_args()
 
 
@@ -435,6 +444,27 @@ def main():
             pass  # non-main thread / unsupported platform
     preempt_check = max(1, min(args.log_interval, 50))
 
+    # the Python-level handler above is unreachable while the main
+    # thread is blocked in a native wait (observed in practice: a
+    # 25-min device-RPC stall, PERF.md "Soak re-examination"); the
+    # watchdog forces a resumable exit (code 75) from a daemon thread
+    # when a termination signal sees no step progress for the deadline
+    from simpb_tpu.utils.watchdog import PreemptionWatchdog
+
+    watchdog = PreemptionWatchdog(
+        deadline_s=args.watchdog_deadline, work_dir=args.work_dir
+    ).arm()
+
+    # fault injection for tests/test_watchdog.py: at iter N, block the
+    # main thread in an EINTR-restarting native sleep ("ITER:SECONDS")
+    hang_iter, hang_secs = -1, 0.0
+    if os.environ.get("SIMPB_TEST_NATIVE_HANG"):
+        hang_iter, hang_secs = (
+            float(x) for x in
+            os.environ["SIMPB_TEST_NATIVE_HANG"].split(":")
+        )
+        hang_iter = int(hang_iter)
+
     def should_stop(step_no):
         if n_proc == 1:
             return bool(preempted)
@@ -456,9 +486,16 @@ def main():
             break
         batch, trained_pose = item
         batch = shard_batch(batch, mesh)
+        if (i + 1) == hang_iter:
+            from simpb_tpu.data.native_preprocess import native_hang
+
+            print(f"[fault-injection] native hang {hang_secs}s @ iter "
+                  f"{i + 1}", flush=True)
+            native_hang(hang_secs)
         state, temporal, dn_state, metrics = step_fn(
             state, batch, temporal, dn_state, key
         )
+        watchdog.heartbeat(step=i + 1)
         if (i + 1) % args.log_interval == 0:
             loss = float(metrics["loss"])  # replicated scalar: any rank
             dt = time.time() - t0
@@ -468,6 +505,20 @@ def main():
                     f"({dt / args.log_interval:.2f}s/iter)",
                     flush=True,
                 )
+                if i + 1 == start_iter + args.log_interval:
+                    # one-time peak-HBM report (the reference benchmark
+                    # reports peak CUDA memory, tools/benchmark.py:
+                    # 100-113; the training-side peak goes to PERF.md)
+                    from simpb_tpu.utils.benchmark import (
+                        device_peak_memory,
+                    )
+
+                    peak = device_peak_memory()
+                    if peak is not None:
+                        print(
+                            f"peak HBM in use: {peak / 2**30:.2f} GiB",
+                            flush=True,
+                        )
             if tb_writer is not None:
                 for k, v in metrics.items():
                     tb_writer.scalar(k, float(v), i + 1)
@@ -488,10 +539,14 @@ def main():
                 path, state, t_host, d_host, pose_host,
                 best_score=best_score,
             )
+            watchdog.record_checkpoint(path)
             if is_main:
                 print(f"saved {path}", flush=True)
 
         if should_stop(i + 1):
+            # graceful preemption path engaged: the watchdog stands
+            # down; the checkpoint below owns the shutdown
+            watchdog.acknowledge()
             save_ckpt(
                 os.path.abspath(
                     os.path.join(args.work_dir, f"ckpt_preempt_{i + 1}")
