@@ -21,7 +21,7 @@ from simpb_tpu.configs.base import (
     simpb_r50_704x256_fast,
     simpb_r50_704x256_guarded,
 )
-from simpb_tpu.utils.benchmark import device_peak_memory, run_benchmark
+from simpb_tpu.utils.benchmark import run_benchmark
 
 BASELINE_FPS = 50.0
 
@@ -71,10 +71,13 @@ def main():
             backbone_fused_infer=os.environ["SIMPB_FUSED_TRUNK"] == "1",
         )
 
-    fps = run_benchmark(cfg, window=128, batch_size=1)
     # peak HBM alongside fps (reference tools/benchmark.py:100-113
-    # reports both); null when the backend exposes no memory stats
-    peak = device_peak_memory()
+    # reports both); from the compiled executable's XLA memory
+    # analysis, null when the backend exposes no memory stats
+    fps, stats = run_benchmark(
+        cfg, window=128, batch_size=1, return_stats=True
+    )
+    peak = stats["peak_hbm_bytes"]
     print(
         json.dumps(
             {

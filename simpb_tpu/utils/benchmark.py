@@ -28,8 +28,12 @@ def device_peak_memory(device=None):
     The reference benchmark reports fps AND peak CUDA memory
     (reference tools/benchmark.py:100-113, torch.cuda.max_memory_
     allocated); this is the TPU-side equivalent via PJRT
-    `device.memory_stats()`, with a graceful n/a for backends (e.g.
-    some tunnel/CPU configurations) that return nothing.
+    `device.memory_stats()`, with a graceful n/a for backends that
+    return nothing (the axon tunnel device returns None — serving
+    peaks there come from the compiled executable's
+    `memory_analysis()` instead, see `run_benchmark(return_stats=
+    True)`, which is also the more deployment-faithful number: it is
+    the HBM XLA actually reserves for the program).
     """
     try:
         dev = device if device is not None else jax.local_devices()[0]
@@ -44,8 +48,15 @@ def device_peak_memory(device=None):
     return None
 
 
-def run_benchmark(cfg, window: int = 128, batch_size: int = 1) -> float:
-    """Returns six-camera frames/sec/chip for `cfg`.
+def run_benchmark(
+    cfg, window: int = 128, batch_size: int = 1,
+    return_stats: bool = False,
+):
+    """Returns six-camera frames/sec/chip for `cfg` (with
+    `return_stats=True`: `(fps, stats)` where stats carries
+    `peak_hbm_bytes` from the compiled executable's XLA memory
+    analysis — the HBM the program actually reserves; None when the
+    backend provides neither analysis nor runtime memory_stats).
 
     Each frame is generated ON DEVICE inside the scan body from a
     per-frame PRNG key (per-frame-varied inputs — the tunnel result
@@ -130,13 +141,33 @@ def run_benchmark(cfg, window: int = 128, batch_size: int = 1) -> float:
 
         return jax.lax.scan(body, state, keys)
 
-    final_state, scores = rollout(variables, keys, proj, state, dt, t2c)
-    np.asarray(scores)  # compile + warm; value fetch is the only sync
+    # AOT compile so the executable's memory analysis (peak HBM the
+    # program reserves) is readable; the compiled object then serves
+    # the timed calls — no second trace/compile
+    compiled = rollout.lower(
+        variables, keys, proj, state, dt, t2c
+    ).compile()
+    peak_bytes = None
+    try:
+        ma = compiled.memory_analysis()
+        peak_bytes = getattr(ma, "peak_memory_in_bytes", None)
+        if peak_bytes is not None:
+            peak_bytes = int(peak_bytes)
+    except Exception:
+        pass
+    if peak_bytes is None:
+        peak_bytes = device_peak_memory()
+
+    final_state, scores = compiled(variables, keys, proj, state, dt, t2c)
+    np.asarray(scores)  # warm; value fetch is the only sync
 
     t0 = time.perf_counter()
-    final_state, scores = rollout(
+    final_state, scores = compiled(
         variables, keys, proj, final_state, dt, t2c
     )
     np.asarray(scores)
     elapsed = time.perf_counter() - t0
-    return window * bs / elapsed
+    fps = window * bs / elapsed
+    if return_stats:
+        return fps, {"peak_hbm_bytes": peak_bytes}
+    return fps

@@ -74,10 +74,7 @@ def main():
         simpb_r101_1408x512_fast,
         simpb_tiny,
     )
-    from simpb_tpu.utils.benchmark import (
-        device_peak_memory,
-        run_benchmark,
-    )
+    from simpb_tpu.utils.benchmark import run_benchmark
 
     cfg = {
         "r50": simpb_r50_704x256,
@@ -124,8 +121,11 @@ def main():
         head = dataclasses.replace(head, guard_sampling=True)
     cfg = dataclasses.replace(cfg, head=head)
 
-    fps = run_benchmark(cfg, window=args.frames, batch_size=args.batch_size)
-    peak = device_peak_memory()
+    fps, stats = run_benchmark(
+        cfg, window=args.frames, batch_size=args.batch_size,
+        return_stats=True,
+    )
+    peak = stats["peak_hbm_bytes"]
     print(
         json.dumps(
             {

@@ -69,7 +69,12 @@ def build_cfg(args, sem: str):
         num_anchor=args.anchors,
         num_temp_instances=args.anchors // 2,
         allocation_capacity=args.alloc_capacity,
-        dn_allocation_capacity=args.alloc_capacity,
+        # the DN allocation pool is num_dn_groups x padded-GT slots
+        # (tiny: 2 x 8 = 16); its capacity must not exceed the pool
+        dn_allocation_capacity=min(
+            args.alloc_capacity,
+            base.head.num_dn_groups * max(8, args.boxes),
+        ),
         num_output=min(300, args.anchors),
         # PRODUCTION window geometry: the flagship (8, 8) default on
         # the real 176x64 level-0 map — nothing is rescaled here
@@ -195,11 +200,19 @@ def main():
         np.sin(gt[:, 6:7]), np.cos(gt[:, 6:7]),
         np.zeros((len(gt), 3), np.float32),
     ], 1).astype(np.float64)
-    from sklearn.cluster import KMeans
+    if len(feats) >= args.anchors:
+        from sklearn.cluster import KMeans
 
-    centers = KMeans(
-        n_clusters=args.anchors, n_init=4, random_state=0
-    ).fit(feats).cluster_centers_.astype(np.float32)
+        centers = KMeans(
+            n_clusters=args.anchors, n_init=4, random_state=0
+        ).fit(feats).cluster_centers_
+    else:  # smoke-scale fallback: tile + jitter positions
+        rng_a = np.random.default_rng(0)
+        centers = np.tile(feats, (args.anchors // len(feats) + 1, 1))[
+            : args.anchors
+        ]
+        centers[:, :2] += rng_a.normal(0, 2.0, (args.anchors, 2))
+    centers = centers.astype(np.float32)
 
     def install_anchors(variables):
         def _replace(path, leaf):
