@@ -232,6 +232,7 @@ def main():
         with open(ck, "rb") as f:
             variables0 = pickle.load(f)["variables"]
         print(f"loaded exact arm from {ck}", flush=True)
+        variables0 = jax.device_put(variables0)  # ONE param upload
     else:
         model = SimPB(cfg_exact)
         tc = TrainConfig(
@@ -287,15 +288,18 @@ def main():
                     f"({time.time() - t0:7.1f}s)", flush=True
                 )
                 assert np.isfinite(loss), "exact arm diverged"
-        variables0 = {"params": jax.device_get(state.params)}
+        host_vars = {"params": jax.device_get(state.params)}
         if state.batch_stats:
-            variables0["batch_stats"] = jax.device_get(
-                state.batch_stats
-            )
+            host_vars["batch_stats"] = jax.device_get(state.batch_stats)
         os.makedirs(args.ckpt_dir, exist_ok=True)
         with open(ck, "wb") as f:
-            pickle.dump({"variables": variables0, "sem": "exact"}, f)
-        del train_batches, state
+            pickle.dump({"variables": host_vars, "sem": "exact"}, f)
+        # keep the DEVICE-resident copy for the eval phases (one param
+        # upload total — see evaluate() docstring)
+        variables0 = {"params": state.params}
+        if state.batch_stats:
+            variables0["batch_stats"] = state.batch_stats
+        del train_batches, state, host_vars
         print(f"saved exact arm -> {ck}", flush=True)
 
     # ---- eval helpers ----
@@ -332,6 +336,15 @@ def main():
 
     def evaluate(eval_sem, variables, host_batches, scenes,
                  collect_guards=False, tag=""):
+        """`variables` MUST be a device-resident pytree
+        (jax.device_put once per checkpoint): passing host numpy here
+        re-uploads the full param set per frame, and the tunnel client
+        keeps each upload's host mirror alive for the call — hundreds
+        of frames x ~140 MB OOMed the host on the first run of this
+        study (same failure class as the round-2 cam-sharded eval
+        fix: one-time param transfer)."""
+        import gc
+
         cfg = build_cfg(args, eval_sem)
         model = SimPB(cfg)
         temporal0, _ = init_temporal(cfg, 1)
@@ -341,6 +354,7 @@ def main():
                 cfg, model, collect_guards
             )
         apply = _apply_cache[cache_key]
+        gc.collect()
         preds, gts, demands = [], [], []
         temporal = temporal0
         for s, hb in zip(scenes, host_batches):
@@ -463,15 +477,21 @@ def main():
         state, temporal, dn_state, metrics = step(
             state, batch, temporal, dn_state, sub,
         )
+        del batch
         if (i + 1) % 100 == 0:
+            import gc
+
+            gc.collect()  # free the per-step image uploads promptly
             loss = float(metrics["loss"])
             print(f"[ft] step {i + 1:5d}  loss {loss:9.3f}  "
                   f"({time.time() - t0:6.1f}s)", flush=True)
             assert np.isfinite(loss), "fine-tune diverged"
         if (i + 1) == budgets[next_b]:
-            v = {"params": jax.device_get(state.params)}
+            # device-resident snapshot for the eval passes (no
+            # per-frame param re-upload)
+            v = {"params": state.params}
             if state.batch_stats:
-                v["batch_stats"] = jax.device_get(state.batch_stats)
+                v["batch_stats"] = state.batch_stats
             entry = {"steps": i + 1}
             for split, hbs, scs in (
                 ("train", tr_hb, tr_sc),
