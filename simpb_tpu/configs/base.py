@@ -288,10 +288,17 @@ def simpb_r50_704x256_hybrid() -> ModelConfig:
     exact 38.8, fast 76.5); on the medium-rig exact-trained checkpoint
     the hybrid fully recovers the 0.094 mAP the fast window loses
     (0.9639 vs exact 0.9627, `studies/finetune_recovery.json`). Set
-    the capacity from measured day-0 demand (`guard_msda_clamp_demand`
-    with the real converted checkpoint); when demand is near-total
-    (the medium-rig study's regime), prefer `_guarded` — the full-
-    correction cap-832 point benches at 32.6 fps, below guarded-exact.
+    the capacity from measured day-0 demand (`tools/day0.py` automates
+    convert -> measure -> decide). Round-5 production-geometry
+    measurement (`studies/production_demand.json`): a converged
+    EXACT-trained checkpoint's demand under the production 8x8 window
+    is 62-81% of all entries (p99 94/128) — the right-sized capacity
+    (~672/832) benches 34.4 fps, BELOW guarded-exact, so that
+    checkpoint class serves `_guarded` (or takes the ~1000-step
+    fine-tune to the fast tier, held-out-val-proven). This config is
+    the middle door for checkpoints whose demand concentrates
+    (capacity <= ~512), where it holds value-exactness at 47-49 fps
+    with per-frame certificates.
     Match: ops/src/deformable_aggregation_cuda.cu:129-187 + mmcv MSDA
     (reference models/group_attn.py:229-232) — value semantics
     preserved while cutting gather rows.

@@ -132,12 +132,14 @@ ITER_RE = re.compile(
 
 
 def run_phase(cmd, sigterm_after_iter=None, timeout=14400,
-              stall_timeout=900):
+              stall_timeout=1800):
     """Run tools/train.py, streaming stdout; optionally SIGTERM once a
     logged iter passes the threshold. Returns (records, evals, out).
 
     Stall detection: if NO output arrives for `stall_timeout` seconds
-    (the round-4 failure was a silent 25-min native device-RPC hang),
+    AFTER the first iter line (the round-4 failure was a silent 25-min
+    native device-RPC hang mid-run; cold compiles before the first
+    iter are legitimately silent for 10+ min and must not trip it),
     send SIGTERM — the graceful preemption path if the main thread can
     run its handler, else the in-process watchdog (utils/watchdog.py)
     forces a resumable exit 75 within its deadline. SIGKILL only as the
@@ -162,6 +164,7 @@ def run_phase(cmd, sigterm_after_iter=None, timeout=14400,
     sent = False
     stall_term_at = None
     t0 = time.time()
+    t_last = None  # armed by the first iter line
     while True:
         try:
             line = q.get(timeout=30)
@@ -173,7 +176,8 @@ def run_phase(cmd, sigterm_after_iter=None, timeout=14400,
             lines.append(line)
             sys.stdout.write(line)
             sys.stdout.flush()
-            t_last = time.time()
+            if records:
+                t_last = time.time()
             m = ITER_RE.search(line)
             if m:
                 records.append(
@@ -194,9 +198,9 @@ def run_phase(cmd, sigterm_after_iter=None, timeout=14400,
             if "eval @ iter" in line:
                 evals.append(line.strip())
         else:
-            quiet = time.time() - (
-                t_last if lines else t0
-            )
+            if t_last is None:
+                continue  # still compiling/starting: no stall clock yet
+            quiet = time.time() - t_last
             if stall_term_at is None and quiet > stall_timeout:
                 print(
                     f"[soak] no output for {quiet:.0f}s — silent "
@@ -308,8 +312,10 @@ def main():
             )
             with open(marker) as f:
                 resume_dir = json.load(f)["last_completed_checkpoint"]
-            assert resume_dir, "watchdog fired before any checkpoint"
             os.rename(marker, marker + f".{phase}")
+            if not resume_dir:
+                print("[soak] watchdog fired before any checkpoint — "
+                      "restarting the phase from scratch", flush=True)
             print(f"[soak] watchdog exit at ~iter {last}; resuming "
                   f"from {resume_dir}", flush=True)
             assert watchdog_exits <= 10, "too many watchdog exits"
