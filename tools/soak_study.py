@@ -238,6 +238,14 @@ def main():
     ap.add_argument("--draft", action="store_true",
                     help="train with --draft-decode (scaled JPEG "
                          "decode) — the host-bound 1-core lever")
+    ap.add_argument("--resume-from", default=None,
+                    help="seed the phase loop from an existing "
+                         "checkpoint (continue an interrupted soak; "
+                         "the resumed phase counts as the "
+                         "resume-exercise)")
+    ap.add_argument("--img-bf16", action="store_true",
+                    help="forwarded to tools/train.py (halves the "
+                         "host->device image upload)")
     ap.add_argument("--watchdog-deadline", type=float, default=120.0,
                     help="forwarded to tools/train.py: native-stall "
                          "escape (utils/watchdog.py). A stall like the "
@@ -266,6 +274,8 @@ def main():
     ]
     if args.draft:
         base_cmd.append("--draft-decode")
+    if args.img_bf16:
+        base_cmd.append("--img-bf16")
 
     # phase loop: the deliberate mid-run SIGTERM exercises the graceful
     # preemption path once (rc 0 + ckpt_preempt); a watchdog-forced
@@ -274,8 +284,8 @@ def main():
     # Both resume paths are the product contract this soak certifies.
     sig_at = int(args.steps * args.sigterm_frac)
     records, evals, watchdog_exits = [], [], 0
-    resume_dir = None
-    sigterm_done = False
+    resume_dir = args.resume_from
+    sigterm_done = bool(args.resume_from)  # resuming IS the exercise
     out2 = ""
     phase = 0
     while True:

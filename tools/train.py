@@ -52,6 +52,16 @@ def parse_args():
                         "source dims exactly — halves the dominant "
                         "host decode cost (PERF.md host pipeline)")
     p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--img-bf16", action="store_true",
+                   help="ship normalized camera images to the device "
+                        "as bfloat16 (the trunk's own compute dtype — "
+                        "the stem casts immediately anyway). Halves "
+                        "the dominant host->device transfer "
+                        "(~52 -> 26 MB/step at bs 4), which through "
+                        "the axon tunnel also halves the upload-"
+                        "backlog drain stalls the round-5 soak "
+                        "measured (~15 min pause per ~50 GB "
+                        "uploaded)")
     p.add_argument("--load-from", default=None,
                    help="torch .pth or orbax checkpoint to initialise from")
     p.add_argument("--pretrained-backbone", default=None,
@@ -398,6 +408,10 @@ def main():
             for k in samples[0]
             if k != "gt_depth"
         }
+        if args.img_bf16:
+            import ml_dtypes
+
+            batch["img"] = batch["img"].astype(ml_dtypes.bfloat16)
         batch["time_interval"] = dts
         batch["temp2cur"] = t2c
         if "gt_depth" in samples[0]:
