@@ -134,6 +134,17 @@ def build_train_step(
     opt = make_optimizer(tc)
 
     def loss_fn(params, batch_stats, batch, temporal, dn_state, rng):
+        if batch["img"].dtype == jnp.uint16:
+            # --img-bf16 wire format (tools/train.py): the host ships
+            # normalized images as the bf16 BIT PATTERN in native
+            # uint16 (numpy bfloat16 transfers hang the axon tunnel
+            # client); reinterpret in-graph — a free bitcast
+            batch = dict(
+                batch,
+                img=jax.lax.bitcast_convert_type(
+                    batch["img"], jnp.bfloat16
+                ),
+            )
         r_dn, r_aug, r_drop, r_samp = jax.random.split(rng, 4)
         dn = get_dn_anchors(
             r_dn,

@@ -411,7 +411,14 @@ def main():
         if args.img_bf16:
             import ml_dtypes
 
-            batch["img"] = batch["img"].astype(ml_dtypes.bfloat16)
+            # ship the bf16 BIT PATTERN as native uint16: device_put of
+            # a numpy ml_dtypes.bfloat16 array hangs the axon tunnel
+            # client indefinitely (measured round 5 — a 2 MB array
+            # never completed; the wedge that ate the first soak
+            # attempt). The train step bitcasts back in-graph (free).
+            batch["img"] = (
+                batch["img"].astype(ml_dtypes.bfloat16).view(np.uint16)
+            )
         batch["time_interval"] = dts
         batch["temp2cur"] = t2c
         if "gt_depth" in samples[0]:
