@@ -99,6 +99,45 @@ def make_batch(rng):
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+def test_train_step_uint16_img_wire_matches_bf16():
+    """--img-bf16 wire contract (tools/train.py): images arrive as the
+    bf16 bit pattern in native uint16 (numpy bfloat16 device_put hangs
+    the axon tunnel client — CLAUDE.md) and loss_fn bitcasts in-graph.
+    The uint16-wire step must equal the direct-bf16-image step exactly.
+    """
+    import ml_dtypes
+
+    cfg = tiny_config()
+    tc = TrainConfig()
+    model = SimPB(cfg)
+    rng = np.random.default_rng(3)
+    batch = make_batch(rng)
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.PRNGKey(0), "aug": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2),
+             "sampling": jax.random.PRNGKey(3)},
+            batch["img"], batch["projection_mat"], train=True,
+        )
+    )()
+    state = create_train_state(model, variables, tc)
+    step = jax.jit(build_train_step(model, tc))
+    temporal, dn_state = init_temporal(cfg, BS)
+    key = jax.random.PRNGKey(7)
+
+    img_bf16 = np.asarray(batch["img"], np.float32).astype(
+        ml_dtypes.bfloat16
+    )
+    batch_bf16 = dict(batch, img=jnp.asarray(img_bf16))
+    batch_wire = dict(batch, img=jnp.asarray(img_bf16.view(np.uint16)))
+
+    _, _, _, m_bf16 = step(state, batch_bf16, temporal, dn_state, key)
+    _, _, _, m_wire = step(state, batch_wire, temporal, dn_state, key)
+    np.testing.assert_array_equal(
+        np.asarray(m_bf16["loss"]), np.asarray(m_wire["loss"])
+    )
+
+
 def test_train_step_runs_and_updates():
     cfg = tiny_config()
     tc = TrainConfig()
